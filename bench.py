@@ -1,0 +1,88 @@
+"""Headline benchmark: book-1 final scene, 600x400 @ 100 spp, seed 1024.
+
+The reference renders this exact config in 617.61 s wall-clock on 2 CPU
+cores (README.md:9-15, perflogs.org:4-13; see BASELINE.md).  Prints ONE JSON
+line on stdout; diagnostics go to stderr.
+
+Extra configs (Cornell 1000 spp, two-spheres) can be benchmarked with
+--config; the headline stays book1 so vs_baseline is apples-to-apples.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINES = {
+    # wall-clock seconds of the reference (BASELINE.md)
+    "book1": 617.61,       # 600x400 @ 100 spp, 2 cores
+    "two-spheres": 45.43,  # 600x400 @ 100 spp, -N2, random-1.2
+    "cornell": None,       # image published, no time given
+    "next-week": 6874.0,   # 1h54m34s at 400x400 (4 threads)
+}
+
+CONFIGS = {
+    "book1": dict(scene="book1-final", width=600, height=400, spp=100),
+    "two-spheres": dict(scene="two-spheres", width=600, height=400, spp=100),
+    "cornell": dict(scene="cornell", width=500, height=500, spp=1000),
+    "next-week": dict(scene="next-week-final", width=400, height=400, spp=100),
+}
+
+
+def run(config: str, rays_per_wave: int, out: str | None) -> dict:
+    import jax
+
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import render
+    from tpu_ray.core import film
+
+    cfg = CONFIGS[config]
+    spec = SCENES[cfg["scene"]]
+    t0 = time.perf_counter()
+    scene = spec.build(seed=1024)
+    camera = spec.camera(cfg["width"], cfg["height"])
+    print(f"[bench] scene build: {time.perf_counter() - t0:.2f}s "
+          f"({scene.n_prims} prims)", file=sys.stderr)
+
+    kwargs = dict(
+        max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
+    )
+    # warmup: compile the wave function on a 1-spp render
+    t0 = time.perf_counter()
+    render(scene, camera, cfg["width"], cfg["height"], spp=1, **kwargs)
+    print(f"[bench] warmup (1 spp, incl. compile): {time.perf_counter() - t0:.2f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    img = render(scene, camera, cfg["width"], cfg["height"], spp=cfg["spp"], **kwargs)
+    elapsed = time.perf_counter() - t0
+    msamples = cfg["width"] * cfg["height"] * cfg["spp"] / 1e6
+    print(f"[bench] {config}: {elapsed:.3f}s "
+          f"({msamples / elapsed:.2f} Msamples/s) on {jax.devices()[0]}",
+          file=sys.stderr)
+    if out:
+        film.write_image(img, out)
+
+    baseline = BASELINES[config]
+    return {
+        "metric": f"{config}_{cfg['width']}x{cfg['height']}_{cfg['spp']}spp_wall_s",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / elapsed, 2) if baseline else None,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="book1", choices=sorted(CONFIGS))
+    p.add_argument("--rays-per-wave", type=int, default=1 << 20)
+    p.add_argument("--out", default=None, help="optionally save the image")
+    args = p.parse_args(argv)
+    result = run(args.config, args.rays_per_wave, args.out)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Core math, RNG distributions, camera, film."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ray.core import film, rng, vec
+from tpu_ray.core.camera import Camera
+
+
+# ---------------------------------------------------------------------------
+# vec
+# ---------------------------------------------------------------------------
+def test_dot_cross_match_numpy():
+    r = np.random.default_rng(0)
+    a = r.normal(size=(32, 3)).astype(np.float32)
+    b = r.normal(size=(32, 3)).astype(np.float32)
+    np.testing.assert_allclose(vec.dot(a, b), np.sum(a * b, -1), rtol=1e-5)
+    np.testing.assert_allclose(vec.cross(a, b), np.cross(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_normalize_unit_and_zero_safe():
+    a = np.array([[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+    n = np.asarray(vec.normalize(a))
+    np.testing.assert_allclose(n[0], [0.6, 0.8, 0.0], rtol=1e-6)
+    assert np.all(n[1] == 0.0)
+
+
+def test_reflect():
+    v = np.array([[1.0, -1.0, 0.0]], np.float32)
+    n = np.array([[0.0, 1.0, 0.0]], np.float32)
+    np.testing.assert_allclose(np.asarray(vec.reflect(v, n))[0], [1.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_refract_straight_through():
+    # normal incidence, eta ratio 1 -> unchanged
+    uv = np.array([[0.0, -1.0, 0.0]], np.float32)
+    n = np.array([[0.0, 1.0, 0.0]], np.float32)
+    out = np.asarray(vec.refract(uv, n, jnp.ones(1)))
+    np.testing.assert_allclose(out[0], [0.0, -1.0, 0.0], atol=1e-6)
+
+
+def test_onb_orthonormal():
+    r = np.random.default_rng(1)
+    n = r.normal(size=(64, 3)).astype(np.float32)
+    u, v, w = vec.onb_from_w(n)
+    for a in (u, v, w):
+        np.testing.assert_allclose(vec.length(a), 1.0, atol=1e-5)
+    np.testing.assert_allclose(vec.dot(u, v), 0.0, atol=1e-5)
+    np.testing.assert_allclose(vec.dot(u, w), 0.0, atol=1e-5)
+    np.testing.assert_allclose(vec.dot(v, w), 0.0, atol=1e-5)
+    # w is unit(n)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(vec.normalize(n)), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# rng samplers
+# ---------------------------------------------------------------------------
+def test_unit_vector_distribution():
+    key = jax.random.PRNGKey(0)
+    v = np.asarray(rng.unit_vector(key, (20000,)))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+    # uniform on the sphere: each component has mean 0, var 1/3
+    assert np.all(np.abs(v.mean(0)) < 0.02)
+    np.testing.assert_allclose(v.var(0), 1.0 / 3.0, atol=0.02)
+
+
+def test_in_unit_disk_distribution():
+    key = jax.random.PRNGKey(1)
+    p = np.asarray(rng.in_unit_disk(key, (20000,)))
+    r2 = p[:, 0] ** 2 + p[:, 1] ** 2
+    assert np.all(p[:, 2] == 0.0)
+    assert np.all(r2 <= 1.0 + 1e-6)
+    # uniform density => r^2 ~ U[0,1]
+    np.testing.assert_allclose(r2.mean(), 0.5, atol=0.01)
+
+
+def test_cosine_direction_distribution():
+    key = jax.random.PRNGKey(2)
+    v = np.asarray(rng.cosine_direction(key, (20000,)))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
+    assert np.all(v[:, 2] >= 0.0)
+    # cosine-weighted: E[cos(theta)] = 2/3
+    np.testing.assert_allclose(v[:, 2].mean(), 2.0 / 3.0, atol=0.01)
+
+
+def test_to_sphere_within_cone():
+    key = jax.random.PRNGKey(3)
+    radius, dist2 = 1.0, 25.0
+    v = np.asarray(rng.to_sphere(key, radius, dist2, (5000,)))
+    cos_theta_max = np.sqrt(1.0 - radius**2 / dist2)
+    assert np.all(v[:, 2] >= cos_theta_max - 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# camera (reference: src/Lib.hs:1253-1295)
+# ---------------------------------------------------------------------------
+def test_camera_center_ray():
+    cam = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0, 0.0, 1.0)
+    ro, rd, rt = cam.get_rays(jax.random.PRNGKey(0), jnp.array([0.5]), jnp.array([0.5]))
+    np.testing.assert_allclose(np.asarray(ro)[0], 0.0, atol=1e-6)
+    # center ray looks down -z
+    np.testing.assert_allclose(np.asarray(vec.normalize(rd))[0], [0, 0, -1], atol=1e-5)
+    # corner ray (s=1, t=1): vfov 90 -> half extents = focus_dist
+    _, rd2, _ = cam.get_rays(jax.random.PRNGKey(0), jnp.array([1.0]), jnp.array([1.0]))
+    np.testing.assert_allclose(np.asarray(rd2)[0], [1.0, 1.0, -1.0], atol=1e-5)
+    assert 0.0 <= float(rt[0]) < 1.0
+
+
+def test_camera_defocus_origin_on_lens_disk():
+    cam = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0, 2.0, 1.0)
+    s = jnp.full((1000,), 0.5)
+    ro, _, _ = cam.get_rays(jax.random.PRNGKey(4), s, s)
+    r = np.linalg.norm(np.asarray(ro), axis=-1)
+    assert np.all(r <= 1.0 + 1e-5)  # lens radius = aperture/2 = 1
+    assert r.max() > 0.5  # actually spread over the disk
+
+
+# ---------------------------------------------------------------------------
+# film (reference: src/Lib.hs:287-297)
+# ---------------------------------------------------------------------------
+def test_tone_map_values():
+    img = np.array([[[0.0, 0.25, 1.0]]], np.float32)
+    out = film.to_rgb8(img)
+    # sqrt -> (0, 0.5, 1.0) -> clamp 0.999 -> floor(256x)
+    np.testing.assert_array_equal(out[0, 0], [0, 128, 255])
+
+
+def test_tone_map_nan_safe():
+    img = np.array([[[np.nan, np.inf, -1.0]]], np.float32)
+    out = film.to_rgb8(img)
+    np.testing.assert_array_equal(out[0, 0], [0, 255, 0])
+
+
+def test_ppm_roundtrip():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    text = film.ppm_string(rgb)
+    lines = text.strip().split("\n")
+    assert lines[0] == "P3" and lines[1] == "3 2" and lines[2] == "255"
+    vals = np.array(" ".join(lines[3:]).split(), np.uint8).reshape(2, 3, 3)
+    np.testing.assert_array_equal(vals, rgb)

@@ -1,0 +1,206 @@
+"""Integrator semantics, scene library, multi-device rendering."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ray.core.camera import Camera
+from tpu_ray.integrator import trace
+from tpu_ray.models import objects as ob
+from tpu_ray.models.compile import build_scene
+from tpu_ray.models.scenes import SCENES
+from tpu_ray.renderer import pick_samples_per_wave, render
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _trace(scene, ro, rd, max_depth=8, key=KEY):
+    ro = jnp.asarray(ro, jnp.float32).reshape(-1, 3)
+    rd = jnp.asarray(rd, jnp.float32).reshape(-1, 3)
+    return np.asarray(trace(scene, ro, rd, jnp.zeros(ro.shape[0]), key, max_depth))
+
+
+def test_miss_returns_background():
+    scene = build_scene(
+        [ob.Sphere((0, 0, -100), 1.0, ob.Lambertian((1, 1, 1)))],
+        background=(0.25, 0.5, 0.75),
+    )
+    rad = _trace(scene, [[0, 0, 0]], [[0, 0, 1]])
+    np.testing.assert_allclose(rad[0], [0.25, 0.5, 0.75], atol=1e-6)
+
+
+def test_enclosing_emissive_sphere_exact():
+    """Inside an emissive sphere every ray sees the back face -> exact emission."""
+    scene = build_scene(
+        [ob.Sphere((0, 0, 0), 10.0, ob.DiffuseLight((2.0, 3.0, 4.0)))],
+        background=(9, 9, 9),
+    )
+    dirs = np.asarray(jax.random.normal(KEY, (64, 3)), np.float32)
+    rad = _trace(scene, np.zeros((64, 3), np.float32), dirs)
+    np.testing.assert_allclose(rad, np.tile([2.0, 3.0, 4.0], (64, 1)), rtol=1e-5)
+
+
+def test_lambertian_plane_furnace_exact():
+    """Camera ray hits an albedo-a plane under a white background: with pure
+    cosine sampling the estimator is exactly a * bg for every sample (the
+    weight is the albedo, the scattered ray always escapes upward)."""
+    scene = build_scene(
+        [ob.Rect("xz", -1e5, 1e5, -1e5, 1e5, 0.0, ob.Lambertian((0.5, 0.25, 0.125)))],
+        background=(1.0, 1.0, 1.0),
+    )
+    n = 256
+    ro = np.tile([[0.0, 5.0, 0.0]], (n, 1)).astype(np.float32)
+    rd = np.tile([[0.0, -1.0, 0.0]], (n, 1)).astype(np.float32)
+    rad = _trace(scene, ro, rd, max_depth=8)
+    np.testing.assert_allclose(rad, np.tile([0.5, 0.25, 0.125], (n, 1)), rtol=1e-5)
+
+
+def test_depth_zero_and_exhaustion():
+    scene = build_scene(
+        [ob.Rect("xz", -1e5, 1e5, -1e5, 1e5, 0.0, ob.Lambertian((0.9, 0.9, 0.9)))],
+        background=(1.0, 1.0, 1.0),
+    )
+    ro = np.array([[0.0, 5.0, 0.0]], np.float32)
+    rd = np.array([[0.0, -1.0, 0.0]], np.float32)
+    # depth 0 -> black (src/Lib.hs:1303-1304)
+    np.testing.assert_allclose(_trace(scene, ro, rd, max_depth=0), 0.0, atol=1e-7)
+    # depth 1: the only bounce scatters, then the loop ends -> black
+    np.testing.assert_allclose(_trace(scene, ro, rd, max_depth=1), 0.0, atol=1e-7)
+    # depth 2: scatter + escape -> albedo * bg
+    np.testing.assert_allclose(_trace(scene, ro, rd, max_depth=2)[0], 0.9, rtol=1e-5)
+
+
+def test_zero_throughput_terminates():
+    scene = build_scene(
+        [ob.Rect("xz", -1e5, 1e5, -1e5, 1e5, 0.0, ob.Lambertian((0.0, 0.0, 0.0)))],
+        background=(1.0, 1.0, 1.0),
+    )
+    ro = np.array([[0.0, 5.0, 0.0]], np.float32)
+    rd = np.array([[0.0, -1.0, 0.0]], np.float32)
+    np.testing.assert_allclose(_trace(scene, ro, rd, max_depth=50), 0.0, atol=1e-7)
+
+
+def test_emissive_quad_seen_from_below():
+    """An XZ light emits downward only (back-face emission quirk,
+    src/Lib.hs:880-884): from below we see it, from above we do not."""
+    scene = build_scene(
+        [ob.Rect("xz", -1, 1, -1, 1, 0.0, ob.DiffuseLight((5, 5, 5)))],
+        background=(0, 0, 0),
+    )
+    from_below = _trace(scene, [[0, -3, 0]], [[0, 1, 0]])
+    from_above = _trace(scene, [[0, 3, 0]], [[0, -1, 0]])
+    np.testing.assert_allclose(from_below[0], 5.0, rtol=1e-5)
+    np.testing.assert_allclose(from_above[0], 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# renderer
+# ---------------------------------------------------------------------------
+def test_pick_samples_per_wave():
+    assert pick_samples_per_wave(100, 100, 10, 1 << 20) == 10
+    assert pick_samples_per_wave(1000, 1000, 100, 1 << 20) == 1
+    assert pick_samples_per_wave(100, 100, 12, 50_000) == 4  # divisor of 12 <= 5
+
+
+def test_render_shapes_and_determinism():
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(24, 16)
+    img1 = render(scene, cam, 24, 16, spp=4, max_depth=4, seed=7)
+    img2 = render(scene, cam, 24, 16, spp=4, max_depth=4, seed=7)
+    assert img1.shape == (16, 24, 3)
+    np.testing.assert_array_equal(img1, img2)
+    assert np.isfinite(img1).all()
+    img3 = render(scene, cam, 24, 16, spp=4, max_depth=4, seed=8)
+    assert np.abs(img3 - img1).max() > 0
+
+
+def test_render_orientation():
+    """Emissive ceiling over a dark floor: the top image rows are brighter.
+
+    Note: emission is back-face only (src/Lib.hs:880-884), so a ceiling XZ
+    rect (normal +y) lights everything below it; spheres seen from outside
+    never emit - a reference quirk this framework reproduces.
+    """
+    world = [
+        ob.Rect("xz", -50, 50, -50, 50, 12, ob.DiffuseLight((5, 5, 5))),
+        ob.Rect("xz", -50, 50, -50, 50, 0, ob.Lambertian((0.1, 0.1, 0.1))),
+    ]
+    scene = build_scene(world)
+    cam = Camera.create((0, 5, 20), (0, 5, 0), (0, 1, 0), 60.0, 1.0, 0.0, 10.0)
+    img = render(scene, cam, 16, 16, spp=8, max_depth=4, seed=0)
+    assert img[:4].mean() > img[-4:].mean() * 2
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_scene_builds_and_renders(name):
+    spec = SCENES[name]
+    scene = spec.build(seed=1024, earth=None)
+    cam = spec.camera(12, 12)
+    img = render(scene, cam, 12, 12, spp=2, max_depth=4, seed=3)
+    assert img.shape == (12, 12, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
+
+
+def test_scene_prim_counts():
+    assert SCENES["cornell"].build().n_prims == 13  # 6 walls + 6 box faces + sphere
+    assert SCENES["cornell-smoke"].build().n_prims == 8  # 6 walls + 2 medium boxes
+    assert SCENES["two-spheres"].build().n_prims == 2
+    n1 = SCENES["book1-final"].build(seed=1024).n_prims
+    assert 400 <= n1 <= 488  # 4 heroes + 22x22 grid minus skips
+    nf = SCENES["next-week-final"].build(seed=1024, earth=None).n_prims
+    assert nf == 2400 + 1 + 1 + 1 + 1 + 1 + 2 + 1 + 1 + 1000
+
+
+def test_cornell_light_is_lit():
+    scene = SCENES["cornell"].build()
+    cam = SCENES["cornell"].camera(16, 16)
+    img = render(scene, cam, 16, 16, spp=16, max_depth=8, seed=0)
+    # ceiling light region (top-center) must be the brightest thing
+    assert img.max() > 1.0
+    assert img.mean() > 0.01
+
+
+def test_checkpoint_resume(tmp_path):
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(16, 16)
+    ck = str(tmp_path / "ck.npz")
+    # full render in one go
+    img_full = render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5,
+                      rays_per_wave=16 * 16)  # k=1 -> 8 waves
+    # render half (checkpoint every wave), then resume
+    render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5, rays_per_wave=16 * 16,
+           checkpoint_path=ck, checkpoint_every=4)
+    img_resumed = render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5,
+                         rays_per_wave=16 * 16, checkpoint_path=ck)
+    np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multi-device
+# ---------------------------------------------------------------------------
+def test_sharded_render_matches_single_device():
+    from tpu_ray.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(16, 16)
+    kwargs = dict(max_depth=4, seed=11, rays_per_wave=16 * 16)  # k=1, 16 waves
+    img_single = render(scene, cam, 16, 16, spp=16, **kwargs)
+    img_mesh = render(scene, cam, 16, 16, spp=16, mesh=make_mesh(8), **kwargs)
+    np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_render_uneven_waves():
+    from tpu_ray.parallel.mesh import make_mesh
+
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(8, 8)
+    kwargs = dict(max_depth=3, seed=2, rays_per_wave=8 * 8)
+    img_single = render(scene, cam, 8, 8, spp=5, **kwargs)  # 5 waves over 8 devices
+    img_mesh = render(scene, cam, 8, 8, spp=5, mesh=make_mesh(8), **kwargs)
+    np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)

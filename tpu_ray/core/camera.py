@@ -1,0 +1,92 @@
+"""Thin-lens camera with defocus blur and shutter-time motion blur.
+
+TPU-native counterpart of the reference camera (src/Lib.hs:1230-1295):
+same precomputed origin / lower-left / horizontal / vertical frame, but
+``get_rays`` produces a whole wavefront of rays from batched (s, t) screen
+coordinates in one shot.  Ray directions are intentionally NOT normalized,
+matching the reference (src/Lib.hs:1259-1266) - the hit parameter t is in
+units of |direction|.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import rng, vec
+
+
+@struct.dataclass
+class Camera:
+    origin: jnp.ndarray        # (3,)
+    lower_left: jnp.ndarray    # (3,)
+    horizontal: jnp.ndarray    # (3,)
+    vertical: jnp.ndarray      # (3,)
+    u: jnp.ndarray             # (3,)
+    v: jnp.ndarray             # (3,)
+    w: jnp.ndarray             # (3,)
+    lens_radius: jnp.ndarray   # ()
+    time0: jnp.ndarray         # ()
+    time1: jnp.ndarray         # ()
+
+    @classmethod
+    def create(
+        cls,
+        lookfrom,
+        lookat,
+        vup,
+        vfov_deg: float,
+        aspect: float,
+        aperture: float,
+        focus_dist: float,
+        time0: float = 0.0,
+        time1: float = 1.0,
+    ) -> "Camera":
+        """Precompute the camera frame (reference ``newCamera``, src/Lib.hs:1269-1295)."""
+        lookfrom = jnp.asarray(lookfrom, jnp.float32)
+        lookat = jnp.asarray(lookat, jnp.float32)
+        vup = jnp.asarray(vup, jnp.float32)
+        theta = vfov_deg * jnp.pi / 180.0
+        half_height = jnp.tan(theta / 2.0)
+        half_width = aspect * half_height
+        w = vec.normalize(lookfrom - lookat)
+        u = vec.normalize(vec.cross(vup, w))
+        v = vec.cross(w, u)
+        lower_left = (
+            lookfrom
+            - (half_width * focus_dist) * u
+            - (half_height * focus_dist) * v
+            - focus_dist * w
+        )
+        return cls(
+            origin=lookfrom,
+            lower_left=lower_left,
+            horizontal=(2.0 * half_width * focus_dist) * u,
+            vertical=(2.0 * half_height * focus_dist) * v,
+            u=u,
+            v=v,
+            w=w,
+            lens_radius=jnp.float32(aperture / 2.0),
+            time0=jnp.float32(time0),
+            time1=jnp.float32(time1),
+        )
+
+    def get_rays(self, key, s: jnp.ndarray, t: jnp.ndarray):
+        """Batched ``getRay`` (reference: src/Lib.hs:1253-1267).
+
+        ``s``/``t`` are (R,) screen fractions.  Returns (origin (R,3),
+        direction (R,3) unnormalized, time (R,)).
+        """
+        k_disk, k_time = jax.random.split(key)
+        rd = self.lens_radius * rng.in_unit_disk(k_disk, s.shape)
+        offset = rd[..., 0:1] * self.u + rd[..., 1:2] * self.v
+        tm = rng.uniform(k_time, s.shape, self.time0, self.time1)
+        origin = self.origin + offset
+        direction = (
+            self.lower_left
+            + s[..., None] * self.horizontal
+            + t[..., None] * self.vertical
+            - self.origin
+            - offset
+        )
+        return origin, direction, tm

@@ -1,0 +1,440 @@
+"""Scene compiler: object tree -> flat device arrays.
+
+Replaces the reference's scene-construction path (``makeBVH`` over a
+``Hittable`` tree, src/Lib.hs:941-968) with a host-side flattening pass:
+
+* ``Box`` explodes into its 6 rects (reference ``cuboid``, src/Lib.hs:594-605).
+* ``Translate``/``Rotate`` chains compose into one rigid transform per
+  primitive (reference keeps them as tree nodes and re-transforms rays
+  recursively, src/Lib.hs:1029-1052).  Transforms on spheres are baked
+  directly into world-space centers/velocities (spheres are rotation
+  invariant), so only rects and medium boxes carry a live transform.
+* ``ConstantMedium`` boundaries reduce to a (possibly transformed) sphere or
+  box - exactly the shapes the reference scenes use.
+* Materials and textures are deduplicated into small tables; Perlin
+  instances get their own gradient/permutation rows (reference:
+  src/Lib.hs:424-439); images are stacked into a padded atlas.
+
+The "BVH" of the reference is an acceleration concern, not a semantic one:
+the wavefront intersector tests all primitives in lockstep (optionally in
+chunks), which is the TPU-native equivalent; the light list keeps the
+uniform-over-leaves weighting that the reference's count-weighted light BVH
+produces (src/Lib.hs:694-724).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import objects as ob
+from .scene_data import (
+    LIGHT_RECT,
+    LIGHT_SPHERE,
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE_LIGHT,
+    MAT_ISOTROPIC,
+    MAT_LAMBERTIAN,
+    MAT_METAL,
+    PRIM_MEDIUM_BOX,
+    PRIM_MEDIUM_SPHERE,
+    PRIM_RECT,
+    PRIM_SPHERE,
+    TEX_CHECKER,
+    TEX_CONSTANT,
+    TEX_IMAGE,
+    TEX_PERLIN,
+    LightArrays,
+    MaterialArrays,
+    PrimArrays,
+    SceneData,
+    TextureArrays,
+)
+
+PERLIN_POINTS = 256
+
+_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
+# plane -> (i_axis, j_axis, k_axis); reference rect orientations
+# (src/Lib.hs:1005-1012)
+_PLANE_AXES = {"xy": (0, 1, 2), "xz": (0, 2, 1), "yz": (1, 2, 0)}
+
+
+def rotation_matrix(axis: str, angle_deg: float) -> np.ndarray:
+    """World-from-object rotation matching ``rotatePoint`` (src/Lib.hs:763-774)."""
+    rad = math.radians(angle_deg)
+    c, s = math.cos(rad), math.sin(rad)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+    if axis == "y":
+        # reference YAxis: (c*x + s*z, y, -s*x + c*z)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+    if axis == "z":
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+    raise ValueError(f"bad axis {axis!r}")
+
+
+class _Tables:
+    """Accumulates deduplicated material/texture/perlin/image tables."""
+
+    def __init__(self):
+        self.mat_rows: List[tuple] = []
+        self._mat_index: dict = {}
+        self.tex_rows: List[tuple] = []
+        self._tex_index: dict = {}
+        self.perlins: List[tuple] = []  # (grad (256,3), perm (3,256))
+        self.images: List[Optional[np.ndarray]] = []
+        self._image_index: dict = {}
+
+    # -- textures --
+    def texture(self, tex: ob.Texture) -> int:
+        key = tex
+        if key in self._tex_index:
+            return self._tex_index[key]
+        if isinstance(tex, ob.SolidColor):
+            row = (TEX_CONSTANT, tuple(tex.color), 0, 0, 0.0, 0, 0)
+        elif isinstance(tex, ob.Checker):
+            if isinstance(tex.odd, ob.Checker) or isinstance(tex.even, ob.Checker):
+                raise ValueError("nested Checker textures are not supported")
+            odd = self.texture(tex.odd)
+            even = self.texture(tex.even)
+            row = (TEX_CHECKER, (0.0, 0.0, 0.0), odd, even, 0.0, 0, 0)
+        elif isinstance(tex, ob.Noise):
+            pid = len(self.perlins)
+            rng = np.random.default_rng(np.random.SeedSequence([0x9E3779B9, tex.seed]))
+            grad = rng.uniform(-1.0, 1.0, (PERLIN_POINTS, 3)).astype(np.float32)
+            perm = np.stack(
+                [rng.permutation(PERLIN_POINTS) for _ in range(3)]
+            ).astype(np.int32)
+            self.perlins.append((grad, perm))
+            row = (TEX_PERLIN, (0.0, 0.0, 0.0), 0, 0, float(tex.scale), pid, 0)
+        elif isinstance(tex, ob.ImageTexture):
+            if tex.image is None:
+                # missing image -> cyan, matching src/Lib.hs:510
+                row = (TEX_CONSTANT, (0.0, 1.0, 1.0), 0, 0, 0.0, 0, 0)
+            else:
+                iid = self._image_index.get(id(tex.image))
+                if iid is None:
+                    iid = len(self.images)
+                    self.images.append(np.asarray(tex.image))
+                    self._image_index[id(tex.image)] = iid
+                row = (TEX_IMAGE, (0.0, 0.0, 0.0), 0, 0, 0.0, 0, iid)
+        else:
+            raise TypeError(f"unknown texture {tex!r}")
+        idx = len(self.tex_rows)
+        self.tex_rows.append(row)
+        self._tex_index[key] = idx
+        return idx
+
+    # -- materials --
+    def material(self, mat: ob.Material) -> int:
+        key = mat
+        if key in self._mat_index:
+            return self._mat_index[key]
+        if isinstance(mat, ob.Lambertian):
+            row = (MAT_LAMBERTIAN, self.texture(mat.texture), 0.0, 1.0)
+        elif isinstance(mat, ob.Metal):
+            row = (MAT_METAL, self.texture(mat.texture), float(mat.fuzz), 1.0)
+        elif isinstance(mat, ob.Dielectric):
+            row = (MAT_DIELECTRIC, 0, 0.0, float(mat.ref_idx))
+        elif isinstance(mat, ob.DiffuseLight):
+            row = (MAT_DIFFUSE_LIGHT, self.texture(mat.texture), 0.0, 1.0)
+        elif isinstance(mat, ob.Isotropic):
+            row = (MAT_ISOTROPIC, self.texture(mat.texture), 0.0, 1.0)
+        else:
+            raise TypeError(f"unknown material {mat!r}")
+        idx = len(self.mat_rows)
+        self.mat_rows.append(row)
+        self._mat_index[key] = idx
+        return idx
+
+
+class _Prim:
+    """One flattened primitive row (host-side, float64 until device upload)."""
+
+    __slots__ = (
+        "kind", "mat", "center", "velocity", "time0", "radius",
+        "axes", "bounds", "box_min", "box_max", "neg_inv_density",
+        "rot", "off",
+    )
+
+    def __init__(self, kind, mat):
+        self.kind = kind
+        self.mat = mat
+        self.center = np.zeros(3)
+        self.velocity = np.zeros(3)
+        self.time0 = 0.0
+        self.radius = 0.0
+        self.axes = (0, 1, 2)
+        self.bounds = np.zeros(5)
+        self.box_min = np.zeros(3)
+        self.box_max = np.zeros(3)
+        self.neg_inv_density = 0.0
+        self.rot = np.eye(3)
+        self.off = np.zeros(3)
+
+
+def _is_identity(rot: np.ndarray, off: np.ndarray) -> bool:
+    return np.allclose(rot, np.eye(3)) and np.allclose(off, 0.0)
+
+
+def _flatten(
+    obj: ob.Object,
+    rot: np.ndarray,
+    off: np.ndarray,
+    tables: _Tables,
+    out: List[_Prim],
+) -> None:
+    if isinstance(obj, ob.Group):
+        for o in obj.objects:
+            _flatten(o, rot, off, tables, out)
+    elif isinstance(obj, (list, tuple)):
+        for o in obj:
+            _flatten(o, rot, off, tables, out)
+    elif isinstance(obj, ob.Translate):
+        # world = rot @ (x + t) + off = rot @ x + (rot @ t + off)
+        t = np.asarray(obj.offset, np.float64)
+        _flatten(obj.obj, rot, off + rot @ t, tables, out)
+    elif isinstance(obj, ob.Rotate):
+        _flatten(obj.obj, rot @ rotation_matrix(obj.axis, obj.angle), off, tables, out)
+    elif isinstance(obj, ob.Sphere):
+        p = _Prim(PRIM_SPHERE, tables.material(obj.material))
+        # spheres are rotation-invariant: bake the transform (UV of a
+        # rotated image-textured sphere would differ from the reference's
+        # object-space UV; no reference scene exercises that).
+        p.center = rot @ np.asarray(obj.center, np.float64) + off
+        p.radius = float(obj.radius)
+        out.append(p)
+    elif isinstance(obj, ob.MovingSphere):
+        p = _Prim(PRIM_SPHERE, tables.material(obj.material))
+        c0 = rot @ np.asarray(obj.center0, np.float64) + off
+        c1 = rot @ np.asarray(obj.center1, np.float64) + off
+        duration = float(obj.time1) - float(obj.time0)
+        p.center = c0
+        p.velocity = (c1 - c0) / duration if duration != 0.0 else np.zeros(3)
+        p.time0 = float(obj.time0)
+        p.radius = float(obj.radius)
+        out.append(p)
+    elif isinstance(obj, ob.Rect):
+        p = _Prim(PRIM_RECT, tables.material(obj.material))
+        p.axes = _PLANE_AXES[obj.plane]
+        p.bounds = np.array([obj.i0, obj.i1, obj.j0, obj.j1, obj.k], np.float64)
+        p.rot, p.off = rot, off
+        out.append(p)
+    elif isinstance(obj, ob.Box):
+        for r in _box_rects(obj):
+            _flatten(r, rot, off, tables, out)
+    elif isinstance(obj, ob.ConstantMedium):
+        mat_id = tables.material(ob.Isotropic(obj.texture))
+        base, brot, boff = _reduce_boundary(obj.boundary, rot, off)
+        if isinstance(base, ob.Sphere):
+            p = _Prim(PRIM_MEDIUM_SPHERE, mat_id)
+            p.center = brot @ np.asarray(base.center, np.float64) + boff
+            p.radius = float(base.radius)
+        else:  # Box
+            p = _Prim(PRIM_MEDIUM_BOX, mat_id)
+            p.box_min = np.asarray(base.pmin, np.float64)
+            p.box_max = np.asarray(base.pmax, np.float64)
+            p.rot, p.off = brot, boff
+        p.neg_inv_density = -1.0 / float(obj.density)
+        out.append(p)
+    else:
+        raise TypeError(f"cannot flatten {obj!r}")
+
+
+def _box_rects(b: ob.Box) -> List[ob.Rect]:
+    """Six faces, mirroring ``cuboid`` (src/Lib.hs:594-605)."""
+    (x0, y0, z0), (x1, y1, z1) = b.pmin, b.pmax
+    m = b.material
+    return [
+        ob.Rect("xy", x0, x1, y0, y1, z1, m),
+        ob.Rect("xy", x0, x1, y0, y1, z0, m),
+        ob.Rect("xz", x0, x1, z0, z1, y1, m),
+        ob.Rect("xz", x0, x1, z0, z1, y0, m),
+        ob.Rect("yz", y0, y1, z0, z1, x1, m),
+        ob.Rect("yz", y0, y1, z0, z1, x0, m),
+    ]
+
+
+def _reduce_boundary(obj: ob.Object, rot, off):
+    """Strip Translate/Rotate wrappers down to a Sphere or Box."""
+    while True:
+        if isinstance(obj, ob.Translate):
+            t = np.asarray(obj.offset, np.float64)
+            off = off + rot @ t
+            obj = obj.obj
+        elif isinstance(obj, ob.Rotate):
+            rot = rot @ rotation_matrix(obj.axis, obj.angle)
+            obj = obj.obj
+        elif isinstance(obj, (ob.Sphere, ob.Box)):
+            return obj, rot, off
+        else:
+            raise TypeError(
+                "ConstantMedium boundary must reduce to a Sphere or Box, "
+                f"got {obj!r}"
+            )
+
+
+def _one_hot(axis: int) -> np.ndarray:
+    v = np.zeros(3, np.float32)
+    v[axis] = 1.0
+    return v
+
+
+def build_scene(
+    world: Union[ob.Object, Sequence[ob.Object]],
+    lights: Sequence[ob.Object] = (),
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    t_min: float = 1e-3,
+) -> SceneData:
+    """Compile an object tree (+ light list) to :class:`SceneData`.
+
+    ``lights`` mirrors the reference's lights BVH (src/Lib.hs:82-84): the
+    hittables importance-sampled by Lambertian scatter.  Only untransformed
+    Rect and Sphere lights are supported (all the reference scenes use).
+    """
+    tables = _Tables()
+    prims: List[_Prim] = []
+    _flatten(world if isinstance(world, ob.Object) else ob.Group(world),
+             np.eye(3), np.zeros(3), tables, prims)
+    if not prims:
+        raise ValueError("scene has no primitives")
+
+    n = len(prims)
+    kind = np.array([p.kind for p in prims], np.int32)
+    mat = np.array([p.mat for p in prims], np.int32)
+    center = np.stack([p.center for p in prims]).astype(np.float32)
+    velocity = np.stack([p.velocity for p in prims]).astype(np.float32)
+    time0 = np.array([p.time0 for p in prims], np.float32)
+    radius = np.array([p.radius for p in prims], np.float32)
+    rect_i = np.stack([_one_hot(p.axes[0]) for p in prims])
+    rect_j = np.stack([_one_hot(p.axes[1]) for p in prims])
+    rect_k = np.stack([_one_hot(p.axes[2]) for p in prims])
+    rect_bounds = np.stack([p.bounds for p in prims]).astype(np.float32)
+    box_min = np.stack([p.box_min for p in prims]).astype(np.float32)
+    box_max = np.stack([p.box_max for p in prims]).astype(np.float32)
+    neg_inv_density = np.array([p.neg_inv_density for p in prims], np.float32)
+    xf_rot = np.stack([p.rot for p in prims]).astype(np.float32)
+    xf_off = np.stack([p.off for p in prims]).astype(np.float32)
+
+    identity = np.array(
+        [_is_identity(p.rot, p.off) for p in prims], bool
+    )
+
+    prim_arrays = PrimArrays(
+        kind=jnp.asarray(kind),
+        mat=jnp.asarray(mat),
+        center=jnp.asarray(center),
+        velocity=jnp.asarray(velocity),
+        time0=jnp.asarray(time0),
+        radius=jnp.asarray(radius),
+        rect_i=jnp.asarray(rect_i),
+        rect_j=jnp.asarray(rect_j),
+        rect_k=jnp.asarray(rect_k),
+        rect_bounds=jnp.asarray(rect_bounds),
+        box_min=jnp.asarray(box_min),
+        box_max=jnp.asarray(box_max),
+        neg_inv_density=jnp.asarray(neg_inv_density),
+        xf_rot=jnp.asarray(xf_rot),
+        xf_off=jnp.asarray(xf_off),
+    )
+
+    # --- materials / textures ---
+    if not tables.mat_rows:
+        tables.mat_rows.append((MAT_LAMBERTIAN, 0, 0.0, 1.0))
+    if not tables.tex_rows:
+        tables.tex_rows.append((TEX_CONSTANT, (0.0, 0.0, 0.0), 0, 0, 0.0, 0, 0))
+    mk, mt, mf, mr = zip(*tables.mat_rows)
+    mats = MaterialArrays(
+        kind=jnp.asarray(np.array(mk, np.int32)),
+        tex=jnp.asarray(np.array(mt, np.int32)),
+        fuzz=jnp.asarray(np.array(mf, np.float32)),
+        ref_idx=jnp.asarray(np.array(mr, np.float32)),
+    )
+    tk, tc, to, te, ts, tp, ti = zip(*tables.tex_rows)
+    if tables.perlins:
+        perlin_grad = np.stack([g for g, _ in tables.perlins])
+        perlin_perm = np.stack([p for _, p in tables.perlins])
+    else:
+        perlin_grad = np.zeros((1, PERLIN_POINTS, 3), np.float32)
+        perlin_perm = np.tile(np.arange(PERLIN_POINTS, dtype=np.int32), (1, 3, 1))
+    if tables.images:
+        hmax = max(im.shape[0] for im in tables.images)
+        wmax = max(im.shape[1] for im in tables.images)
+        atlas = np.zeros((len(tables.images), hmax, wmax, 3), np.float32)
+        sizes = np.zeros((len(tables.images), 2), np.int32)
+        for idx, im in enumerate(tables.images):
+            h, w = im.shape[:2]
+            # colorToAlbedo: /255, no gamma decode (src/Lib.hs:294-297)
+            atlas[idx, :h, :w] = im[..., :3].astype(np.float32) / 255.0
+            sizes[idx] = (w, h)
+    else:
+        atlas = np.zeros((1, 1, 1, 3), np.float32)
+        sizes = np.ones((1, 2), np.int32)
+    texs = TextureArrays(
+        kind=jnp.asarray(np.array(tk, np.int32)),
+        color=jnp.asarray(np.array(tc, np.float32)),
+        odd=jnp.asarray(np.array(to, np.int32)),
+        even=jnp.asarray(np.array(te, np.int32)),
+        scale=jnp.asarray(np.array(ts, np.float32)),
+        perlin_id=jnp.asarray(np.array(tp, np.int32)),
+        image_id=jnp.asarray(np.array(ti, np.int32)),
+        perlin_grad=jnp.asarray(perlin_grad),
+        perlin_perm=jnp.asarray(perlin_perm),
+        img_atlas=jnp.asarray(atlas),
+        img_size=jnp.asarray(sizes),
+    )
+
+    # --- lights ---
+    lrows = []
+    for lt in lights:
+        if isinstance(lt, ob.Rect):
+            ax = _PLANE_AXES[lt.plane]
+            lrows.append(
+                (LIGHT_RECT, _one_hot(ax[0]), _one_hot(ax[1]), _one_hot(ax[2]),
+                 np.array([lt.i0, lt.i1, lt.j0, lt.j1, lt.k], np.float32),
+                 np.zeros(3, np.float32), 0.0)
+            )
+        elif isinstance(lt, ob.Sphere):
+            lrows.append(
+                (LIGHT_SPHERE, _one_hot(0), _one_hot(1), _one_hot(2),
+                 np.zeros(5, np.float32),
+                 np.asarray(lt.center, np.float32), float(lt.radius))
+            )
+        else:
+            raise TypeError(f"unsupported light {lt!r} (Rect or Sphere only)")
+    n_lights = len(lrows)
+    if not lrows:  # dummy row so the arrays are non-empty
+        lrows.append((LIGHT_RECT, _one_hot(0), _one_hot(1), _one_hot(2),
+                      np.zeros(5, np.float32), np.zeros(3, np.float32), 0.0))
+    lk, li, lj, lkk, lb, lc, lr = zip(*lrows)
+    light_arrays = LightArrays(
+        kind=jnp.asarray(np.array(lk, np.int32)),
+        rect_i=jnp.asarray(np.stack(li)),
+        rect_j=jnp.asarray(np.stack(lj)),
+        rect_k=jnp.asarray(np.stack(lkk)),
+        rect_bounds=jnp.asarray(np.stack(lb)),
+        center=jnp.asarray(np.stack(lc)),
+        radius=jnp.asarray(np.array(lr, np.float32)),
+    )
+
+    tex_kinds = set(int(k) for k in tk)
+    return SceneData(
+        prims=prim_arrays,
+        mats=mats,
+        texs=texs,
+        lights=light_arrays,
+        background=jnp.asarray(np.array(background, np.float32)),
+        n_prims=n,
+        n_lights=n_lights,
+        has_media=bool(np.any((kind == PRIM_MEDIUM_SPHERE) | (kind == PRIM_MEDIUM_BOX))),
+        has_moving=bool(np.any(np.abs(velocity) > 0)),
+        has_rects=bool(np.any(kind == PRIM_RECT)),
+        has_spheres=bool(np.any((kind == PRIM_SPHERE) | (kind == PRIM_MEDIUM_SPHERE))),
+        any_transform=bool(np.any(~identity)),
+        has_checker=TEX_CHECKER in tex_kinds,
+        has_perlin=TEX_PERLIN in tex_kinds,
+        has_image=TEX_IMAGE in tex_kinds,
+        t_min=float(t_min),
+    )

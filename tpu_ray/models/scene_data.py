@@ -1,0 +1,146 @@
+"""Device-side scene representation: structure-of-arrays pytrees.
+
+This replaces the reference's recursive ``Hittable`` / ``Material`` /
+``Texture`` ADTs (src/Lib.hs:339-419, 521-660) with flat per-kind arrays that
+a wavefront of rays can intersect/shade in lockstep on the VPU/MXU.
+Instancing (``Translate``/``Rotate``, src/Lib.hs:726-791) is baked into a
+per-primitive rigid transform (rotation matrix + offset) at scene-build time;
+ray <-> object space conversion happens inside the intersect kernel.
+
+Static metadata (counts, feature flags) lives outside the pytree leaves so
+XLA specializes each compiled render to the features the scene actually uses
+(no Perlin gathers in scenes without Perlin textures, etc.).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+# Primitive kinds
+PRIM_SPHERE = 0        # static or moving sphere (velocity field)
+PRIM_RECT = 1          # axis-aligned rectangle (any of the 3 orientations)
+PRIM_MEDIUM_SPHERE = 2  # constant-density medium with sphere boundary
+PRIM_MEDIUM_BOX = 3     # constant-density medium with box boundary
+
+# Material kinds (reference: src/Lib.hs:339-345)
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_LIGHT = 3
+MAT_ISOTROPIC = 4
+
+# Texture kinds (reference: src/Lib.hs:394-419)
+TEX_CONSTANT = 0
+TEX_CHECKER = 1
+TEX_PERLIN = 2
+TEX_IMAGE = 3
+
+# Light kinds
+LIGHT_RECT = 0
+LIGHT_SPHERE = 1
+
+
+@struct.dataclass
+class PrimArrays:
+    """All primitives of the scene, one row per primitive (object space).
+
+    The reference's smart constructors (sphere src/Lib.hs:587, movingSphere
+    :590-592 with precomputed duration, cuboid :594-605 exploded into 6
+    rects, rect :649-660, constantMedium :789-791 storing -1/density) are all
+    reproduced by the scene compiler in models/compile.py.
+    """
+
+    kind: jnp.ndarray          # (N,) int32
+    mat: jnp.ndarray           # (N,) int32 material index
+    # sphere / medium-sphere
+    center: jnp.ndarray        # (N, 3) center at time0
+    velocity: jnp.ndarray      # (N, 3) (c1 - c0)/duration; 0 for static
+    time0: jnp.ndarray         # (N,)
+    radius: jnp.ndarray        # (N,)
+    # rect: unit one-hot axes for the in-plane i/j axes and the normal k axis
+    rect_i: jnp.ndarray        # (N, 3)
+    rect_j: jnp.ndarray        # (N, 3)
+    rect_k: jnp.ndarray        # (N, 3)
+    rect_bounds: jnp.ndarray   # (N, 5): i0, i1, j0, j1, k
+    # medium-box boundary
+    box_min: jnp.ndarray       # (N, 3)
+    box_max: jnp.ndarray       # (N, 3)
+    # constant medium: -1/density (reference: src/Lib.hs:789-791)
+    neg_inv_density: jnp.ndarray  # (N,)
+    # instance transform, world_from_object: x_w = rot @ x_o + off
+    xf_rot: jnp.ndarray        # (N, 3, 3)
+    xf_off: jnp.ndarray        # (N, 3)
+
+
+@struct.dataclass
+class MaterialArrays:
+    kind: jnp.ndarray     # (M,) int32
+    tex: jnp.ndarray      # (M,) int32 texture index
+    fuzz: jnp.ndarray     # (M,) metal fuzz
+    ref_idx: jnp.ndarray  # (M,) dielectric refractive index
+
+
+@struct.dataclass
+class TextureArrays:
+    kind: jnp.ndarray       # (T,) int32
+    color: jnp.ndarray      # (T, 3) constant color
+    odd: jnp.ndarray        # (T,) checker odd child texture index
+    even: jnp.ndarray       # (T,) checker even child texture index
+    scale: jnp.ndarray      # (T,) perlin scale
+    perlin_id: jnp.ndarray  # (T,) index into perlin tables
+    image_id: jnp.ndarray   # (T,) index into image atlas
+    # shared perlin tables (reference: src/Lib.hs:421-439), one row per
+    # distinct Perlin texture instance
+    perlin_grad: jnp.ndarray  # (P, 256, 3) gradient vectors in [-1, 1]^3
+    perlin_perm: jnp.ndarray  # (P, 3, 256) int32 permutations (x, y, z)
+    # image atlas (all images padded to a common size)
+    img_atlas: jnp.ndarray   # (I, Hmax, Wmax, 3) float32 in [0, 1]
+    img_size: jnp.ndarray    # (I, 2) int32 (width, height)
+
+
+@struct.dataclass
+class LightArrays:
+    """Flat light list for book-3 importance sampling.
+
+    Replaces the reference's light-BVH with leaf-count weighting
+    (src/Lib.hs:662-724); every leaf has count 1 so a uniform pick over rows
+    and a mean of per-light densities reproduce ``htblRandom``/``htblPdfValue``.
+    """
+
+    kind: jnp.ndarray      # (L,) int32
+    rect_i: jnp.ndarray    # (L, 3)
+    rect_j: jnp.ndarray    # (L, 3)
+    rect_k: jnp.ndarray    # (L, 3)
+    rect_bounds: jnp.ndarray  # (L, 5)
+    center: jnp.ndarray    # (L, 3) sphere center
+    radius: jnp.ndarray    # (L,) sphere radius
+
+
+@struct.dataclass
+class SceneData:
+    """Complete device-side scene + static feature flags.
+
+    The (world, lights, background) triple mirrors the reference ``Scene``
+    type (src/Lib.hs:82-84).
+    """
+
+    prims: PrimArrays
+    mats: MaterialArrays
+    texs: TextureArrays
+    lights: LightArrays
+    background: jnp.ndarray  # (3,)
+
+    # --- static (compile-time) metadata ---
+    n_prims: int = struct.field(pytree_node=False, default=0)
+    n_lights: int = struct.field(pytree_node=False, default=0)
+    has_media: bool = struct.field(pytree_node=False, default=False)
+    has_moving: bool = struct.field(pytree_node=False, default=False)
+    has_rects: bool = struct.field(pytree_node=False, default=False)
+    has_spheres: bool = struct.field(pytree_node=False, default=True)
+    any_transform: bool = struct.field(pytree_node=False, default=False)
+    has_checker: bool = struct.field(pytree_node=False, default=False)
+    has_perlin: bool = struct.field(pytree_node=False, default=False)
+    has_image: bool = struct.field(pytree_node=False, default=False)
+    # default minimum hit distance; the reference uses 1e-4 in double
+    # precision (src/Lib.hs:76-77), float32 needs more at large scene scale
+    t_min: float = struct.field(pytree_node=False, default=1e-3)

@@ -1,0 +1,117 @@
+"""Material scatter: one wavefront step of shading.
+
+Vectorized counterpart of the reference's ``scatter``/``scatteringPdf``/
+``emitted`` (src/Lib.hs:819-903) and of the specular-vs-pdf branch of the
+integrator (src/Lib.hs:1319-1333).  All five material responses are computed
+masked and selected by material id - cheaper than segmenting at these
+material counts, and branch-free for the VPU.
+
+Estimator semantics follow the reference exactly where the reference is
+well-defined, with two conscious fixes (SURVEY.md section 2.3):
+
+* Scenes WITHOUT lights use pure cosine sampling for Lambertian (weight =
+  albedo) instead of the reference's mixture with an ``Unhittable`` light
+  list, which sends half the samples to the fixed direction (1,0,0) with
+  density 0 and divides by zero (src/Lib.hs:829-836, 702, 724).  The
+  reference's published book-1/2 images predate that regression.
+* Isotropic (constant-medium) scattering uses the proper uniform phase
+  function with weight = albedo; the reference reuses the Lambertian
+  cos/pi formula against the medium's fixed (1,0,0) hit normal with pdf 1
+  (src/Lib.hs:861-878), an artifact of the book-3 refactor that silently
+  darkens smoke.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import rng, vec
+from ..models.scene_data import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE_LIGHT,
+    MAT_ISOTROPIC,
+    MAT_LAMBERTIAN,
+    MAT_METAL,
+    SceneData,
+)
+from .intersect import HitRecord
+from .lights import lights_pdf, sample_lights
+from .textures import texture_value
+
+INV_PI = 1.0 / jnp.pi
+
+
+@struct.dataclass
+class ScatterResult:
+    direction: jnp.ndarray  # (R, 3) next ray direction
+    weight: jnp.ndarray     # (R, 3) throughput multiplier
+    emitted: jnp.ndarray    # (R, 3) radiance if the path terminates here
+    scattered: jnp.ndarray  # (R,) bool; False -> path ends (emissive hit)
+
+
+def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
+    mats = scene.mats
+    mkind = mats.kind[rec.mat]
+    att = texture_value(scene, mats.tex[rec.mat], rec.u, rec.v, rec.point)
+    n = rec.normal
+    unit_d = vec.normalize(rd)
+    R = rd.shape[0]
+    k_coin, k_light, k_cos, k_fuzz, k_refl, k_iso = jax.random.split(key, 6)
+
+    # --- emission: DiffuseLight, back-face only (src/Lib.hs:880-884) ---
+    emitted = jnp.where(
+        ((mkind == MAT_DIFFUSE_LIGHT) & ~rec.front)[:, None], att, 0.0
+    )
+
+    # --- Lambertian (src/Lib.hs:823-836) ---
+    cos_local = rng.cosine_direction(k_cos, (R,))
+    cos_dir = vec.onb_local(vec.onb_from_w(n), cos_local)
+    if scene.n_lights > 0:
+        coin = rng.uniform(k_coin, (R,))
+        light_dir = sample_lights(scene, k_light, rec.point)
+        dir_lam = vec.normalize(vec.where3(coin < 0.5, light_dir, cos_dir))
+        cos_pdf = jnp.maximum(vec.dot(dir_lam, n), 0.0) * INV_PI
+        pdf_val = 0.5 * (lights_pdf(scene, rec.point, dir_lam) + cos_pdf)
+        # scatteringPdf == the cosine density here (src/Lib.hs:874-878),
+        # so the MIS weight is cos_pdf / pdf_val
+        w_lam = att * jnp.where(pdf_val > 0.0, cos_pdf / jnp.maximum(pdf_val, 1e-12), 0.0)[:, None]
+    else:
+        dir_lam = vec.normalize(cos_dir)
+        w_lam = att
+
+    # --- Metal (src/Lib.hs:837-841): always scatters, specular ---
+    reflected = vec.reflect(unit_d, n)
+    dir_metal = reflected + mats.fuzz[rec.mat][:, None] * rng.unit_vector(k_fuzz, (R,))
+    w_metal = att
+
+    # --- Dielectric (src/Lib.hs:842-859) ---
+    ref_idx = mats.ref_idx[rec.mat]
+    ratio = jnp.where(rec.front, 1.0 / ref_idx, ref_idx)
+    cos_theta = jnp.minimum(vec.dot(-unit_d, n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    # Schlick with eta ratio as the reference passes it (src/Lib.hs:855, 899-903)
+    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+    refl_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+    must_reflect = ratio * sin_theta > 1.0
+    do_reflect = must_reflect | (rng.uniform(k_refl, (R,)) < refl_prob)
+    dir_diel = vec.where3(
+        do_reflect, vec.reflect(unit_d, n), vec.refract(unit_d, n, ratio)
+    )
+    w_diel = jnp.ones_like(att)
+
+    # --- Isotropic (src/Lib.hs:861-865; corrected phase function) ---
+    dir_iso = rng.unit_vector(k_iso, (R,))
+    w_iso = att
+
+    direction = vec.where3(mkind == MAT_LAMBERTIAN, dir_lam, dir_metal)
+    direction = vec.where3(mkind == MAT_DIELECTRIC, dir_diel, direction)
+    direction = vec.where3(mkind == MAT_ISOTROPIC, dir_iso, direction)
+    weight = vec.where3(mkind == MAT_LAMBERTIAN, w_lam, w_metal)
+    weight = vec.where3(mkind == MAT_DIELECTRIC, w_diel, weight)
+    weight = vec.where3(mkind == MAT_ISOTROPIC, w_iso, weight)
+    scattered = mkind != MAT_DIFFUSE_LIGHT
+
+    return ScatterResult(
+        direction=direction, weight=weight, emitted=emitted, scattered=scattered
+    )

@@ -1,0 +1,96 @@
+"""Command-line renderer.
+
+The reference hard-codes every setting in ``app/Main.hs:9-46`` (500x500,
+1000 spp, depth 50, seed 1024, scene chosen by editing the source; PPM P3 on
+stdout, progress on stderr).  This CLI exposes the same defaults as real
+flags, keeps the PPM-on-stdout contract, and adds PNG output, multi-chip
+meshes and checkpoint/resume.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-ray",
+        description="TPU-native wavefront path tracer (RTIOW trilogy scenes)",
+    )
+    p.add_argument("--scene", default="cornell",
+                   help="scene name (see --list-scenes); default matches app/Main.hs:40-41")
+    p.add_argument("--list-scenes", action="store_true")
+    p.add_argument("--width", type=int, default=500)
+    p.add_argument("--height", type=int, default=500)
+    p.add_argument("--spp", type=int, default=1000, help="samples per pixel")
+    p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--out", default="-",
+                   help="output path (.png or .ppm); '-' = PPM on stdout")
+    p.add_argument("--earthmap", default=None, help="path to earth texture image")
+    p.add_argument("--rays-per-wave", type=int, default=1 << 20)
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard sample waves over N devices (0 = single device)")
+    p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the accumulator every N waves")
+    p.add_argument("--time", action="store_true", help="print wall time to stderr")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "gpu"),
+                   help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..core import film
+    from ..models.scenes import SCENES
+    from ..renderer import render
+    from .assets import load_earth_image
+
+    if args.list_scenes:
+        for name, spec in SCENES.items():
+            print(f"{name:20s} {spec.description}")
+        return 0
+    if args.scene not in SCENES:
+        print(f"unknown scene {args.scene!r}; try --list-scenes", file=sys.stderr)
+        return 2
+    if args.spp < 1 or args.width < 1 or args.height < 1 or args.max_depth < 0:
+        print("--spp/--width/--height must be >= 1 and --max-depth >= 0",
+              file=sys.stderr)
+        return 2
+
+    spec = SCENES[args.scene]
+    earth = load_earth_image(args.earthmap)
+    scene = spec.build(seed=args.seed, earth=earth)
+    camera = spec.camera(args.width, args.height)
+
+    mesh = None
+    if args.devices:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+
+    t_start = time.perf_counter()
+    img = render(
+        scene, camera, args.width, args.height, args.spp,
+        max_depth=args.max_depth, seed=args.seed,
+        rays_per_wave=args.rays_per_wave, mesh=mesh, progress=True,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+    )
+    elapsed = time.perf_counter() - t_start
+    film.write_image(img, None if args.out == "-" else args.out)
+    if args.time:
+        print(f"render wall time: {elapsed:.3f}s", file=sys.stderr)
+    print("Done.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
