@@ -167,14 +167,12 @@ def test_checkpoint_resume(tmp_path):
     scene = spec.build()
     cam = spec.camera(16, 16)
     ck = str(tmp_path / "ck.npz")
-    # full render in one go
-    img_full = render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5,
-                      rays_per_wave=16 * 16)  # k=1 -> 8 waves
-    # render half (checkpoint every wave), then resume
-    render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5, rays_per_wave=16 * 16,
-           checkpoint_path=ck, checkpoint_every=4)
-    img_resumed = render(scene, cam, 16, 16, spp=8, max_depth=4, seed=5,
-                         rays_per_wave=16 * 16, checkpoint_path=ck)
+    kw = dict(max_depth=4, seed=5, rays_per_wave=16 * 16, samples_per_wave=2)
+    # full render in one go (k_pool=1, 4 waves of 2 samples)
+    img_full = render(scene, cam, 16, 16, spp=8, **kw)
+    # render half (checkpointing), then resume
+    render(scene, cam, 16, 16, spp=8, checkpoint_path=ck, checkpoint_every=2, **kw)
+    img_resumed = render(scene, cam, 16, 16, spp=8, checkpoint_path=ck, **kw)
     np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
 
 
@@ -188,7 +186,8 @@ def test_sharded_render_matches_single_device():
     spec = SCENES["two-spheres"]
     scene = spec.build()
     cam = spec.camera(16, 16)
-    kwargs = dict(max_depth=4, seed=11, rays_per_wave=16 * 16)  # k=1, 16 waves
+    kwargs = dict(max_depth=4, seed=11, rays_per_wave=16 * 16,
+                  samples_per_wave=1)  # k_pool=1, 16 waves
     img_single = render(scene, cam, 16, 16, spp=16, **kwargs)
     img_mesh = render(scene, cam, 16, 16, spp=16, mesh=make_mesh(8), **kwargs)
     np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)
@@ -200,7 +199,7 @@ def test_sharded_render_uneven_waves():
     spec = SCENES["two-spheres"]
     scene = spec.build()
     cam = spec.camera(8, 8)
-    kwargs = dict(max_depth=3, seed=2, rays_per_wave=8 * 8)
+    kwargs = dict(max_depth=3, seed=2, rays_per_wave=8 * 8, samples_per_wave=1)
     img_single = render(scene, cam, 8, 8, spp=5, **kwargs)  # 5 waves over 8 devices
     img_mesh = render(scene, cam, 8, 8, spp=5, mesh=make_mesh(8), **kwargs)
     np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)

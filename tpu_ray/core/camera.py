@@ -77,10 +77,17 @@ class Camera:
         ``s``/``t`` are (R,) screen fractions.  Returns (origin (R,3),
         direction (R,3) unnormalized, time (R,)).
         """
-        k_disk, k_time = jax.random.split(key)
-        rd = self.lens_radius * rng.in_unit_disk(k_disk, s.shape)
-        offset = rd[..., 0:1] * self.u + rd[..., 1:2] * self.v
-        tm = rng.uniform(k_time, s.shape, self.time0, self.time1)
+        u3 = jax.random.uniform(key, s.shape + (3,))
+        return self.rays_from_uniforms(s, t, u3)
+
+    def rays_from_uniforms(self, s: jnp.ndarray, t: jnp.ndarray, u3: jnp.ndarray):
+        """``getRay`` from 3 pre-drawn uniforms per ray (lens disk r/phi,
+        shutter time) - used by the ray-pool integrator, which regenerates
+        camera rays inside the bounce loop."""
+        r = self.lens_radius * jnp.sqrt(u3[..., 0])
+        phi = 2.0 * jnp.pi * u3[..., 1]
+        offset = (r * jnp.cos(phi))[..., None] * self.u + (r * jnp.sin(phi))[..., None] * self.v
+        tm = self.time0 + (self.time1 - self.time0) * u3[..., 2]
         origin = self.origin + offset
         direction = (
             self.lower_left

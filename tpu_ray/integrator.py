@@ -89,3 +89,137 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int):
 
     final = jax.lax.while_loop(cond, body, state)
     return final.radiance
+
+
+class _PoolState(NamedTuple):
+    iteration: jnp.ndarray    # () int32
+    origin: jnp.ndarray       # (R, 3)
+    direction: jnp.ndarray    # (R, 3)
+    time: jnp.ndarray         # (R,)
+    throughput: jnp.ndarray   # (R, 3)
+    bounce: jnp.ndarray       # (R,) int32 bounces of the current path
+    sample: jnp.ndarray       # (R,) int32 next local sample index to start
+    active: jnp.ndarray       # (R,) bool: slot carries a live path
+    accum: jnp.ndarray        # (R, 3) radiance summed over completed samples
+
+
+def trace_pool(
+    scene: SceneData,
+    camera,
+    s: jnp.ndarray,            # (R,) screen-x fraction base (pixel / width)
+    t: jnp.ndarray,            # (R,) screen-y fraction base
+    inv_wh: tuple,             # (1/width, 1/height) jitter scale
+    key,
+    n_samples,                 # samples each slot must complete (traced ok)
+    sample0,                   # global index of each slot's first sample
+    max_depth: int,
+):
+    """Ray-pool path tracing with immediate path regeneration.
+
+    The plain wavefront (:func:`trace`) pays for max_depth iterations over
+    the whole wave while lanes die off; with the reference's depth cap of 50
+    and typical path lengths of 3-15 that is mostly masked idle work.  Here
+    every slot owns one pixel and renders ``n_samples`` jittered camera
+    samples *sequentially*: the iteration a path terminates (background,
+    emission, zero throughput, depth cap), its radiance lands in the slot
+    accumulator and the slot immediately starts its next camera ray.  Lane
+    utilization stays ~100% until the final-sample tail.
+
+    Camera-sample randomness is keyed by the slot's *global* sample index,
+    so the rendered estimate is independent of wave scheduling.
+
+    Returns (accum (R, 3) summed radiance, samples_done (R,)).
+    """
+    R = s.shape[0]
+    if max_depth <= 0:
+        # depth 0 -> every sample is black (src/Lib.hs:1303-1304)
+        return (
+            jnp.zeros((R, 3), jnp.float32),
+            jnp.full((R,), 1, jnp.int32) * n_samples,
+        )
+    n_samples = jnp.asarray(n_samples, jnp.int32)
+    k_cam, k_loop = jax.random.split(key)
+    slot_ids = jnp.arange(R, dtype=jnp.uint32)
+    fold_all = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+    inv_w, inv_h = inv_wh
+
+    def regen(state: _PoolState, just_died) -> _PoolState:
+        """Start the next sample on slots whose path just ended."""
+        want = just_died & (state.sample < n_samples)
+        # per-(slot, global sample) camera uniforms: jitter x/y, lens, time
+        seeds = (sample0 + state.sample.astype(jnp.uint32)) * jnp.uint32(R) + slot_ids
+        u5 = jax.vmap(lambda k: jax.random.uniform(k, (5,)))(fold_all(k_cam, seeds))
+        ro, rd, rt = camera.rays_from_uniforms(
+            s + u5[:, 0] * inv_w, t + u5[:, 1] * inv_h, u5[:, 2:5]
+        )
+        return state._replace(
+            origin=vec.where3(want, ro, state.origin),
+            direction=vec.where3(want, rd, state.direction),
+            time=jnp.where(want, rt, state.time),
+            throughput=vec.where3(want, jnp.ones_like(state.throughput), state.throughput),
+            bounce=jnp.where(want, 0, state.bounce),
+            sample=jnp.where(want, state.sample + 1, state.sample),
+            active=(state.active & ~just_died) | want,
+        )
+
+    state = _PoolState(
+        iteration=jnp.int32(0),
+        origin=jnp.zeros((R, 3), jnp.float32),
+        direction=jnp.zeros((R, 3), jnp.float32),
+        time=jnp.zeros((R,), jnp.float32),
+        throughput=jnp.ones((R, 3), jnp.float32),
+        bounce=jnp.zeros((R,), jnp.int32),
+        sample=jnp.zeros((R,), jnp.int32),
+        active=jnp.zeros((R,), bool),
+        accum=jnp.zeros((R, 3), jnp.float32),
+    )
+    # launch sample 0 on every slot
+    state = regen(state, jnp.ones((R,), bool))
+
+    def cond(st: _PoolState):
+        # safety cap: every sample at full depth
+        return jnp.any(st.active) & (
+            st.iteration < n_samples * max_depth + max_depth
+        )
+
+    def body(st: _PoolState) -> _PoolState:
+        kb = jax.random.fold_in(k_loop, st.iteration)
+        rec = intersect_scene(
+            scene, st.origin, st.direction, st.time, jax.random.fold_in(kb, 0)
+        )
+        sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec)
+
+        miss = st.active & ~rec.hit
+        emit = st.active & rec.hit & ~sc.scattered
+        cont = st.active & rec.hit & sc.scattered
+
+        accum = st.accum + vec.where3(
+            miss, st.throughput * scene.background, jnp.zeros_like(st.accum)
+        )
+        accum = accum + vec.where3(
+            emit, st.throughput * sc.emitted, jnp.zeros_like(accum)
+        )
+        throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
+        bounce = jnp.where(cont, st.bounce + 1, st.bounce)
+        # a path also dies on depth exhaustion (contributes nothing,
+        # src/Lib.hs:1303-1304) or zero throughput
+        dead_now = st.active & (
+            miss | emit
+            | (cont & (bounce >= max_depth))
+            | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
+        )
+        st2 = _PoolState(
+            iteration=st.iteration + 1,
+            origin=vec.where3(cont, rec.point, st.origin),
+            direction=vec.where3(cont, sc.direction, st.direction),
+            time=st.time,
+            throughput=throughput,
+            bounce=bounce,
+            sample=st.sample,
+            active=st.active,
+            accum=accum,
+        )
+        return regen(st2, dead_now)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.accum, final.sample

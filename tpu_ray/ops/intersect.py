@@ -36,7 +36,7 @@ from ..models.scene_data import (
     SceneData,
 )
 
-INF = jnp.float32(jnp.inf)
+INF = float('inf')
 # epsilon used by the reference for the second boundary probe of a medium
 # (src/Lib.hs:1057) and for rect bbox padding
 MED_EPS = 1e-4
@@ -63,8 +63,9 @@ def _object_space(scene: SceneData, sl, ro, rd):
     if scene.any_transform:
         rot = sl(scene.prims.xf_rot)          # (C, 3, 3)
         off = sl(scene.prims.xf_off)          # (C, 3)
-        ro_o = jnp.einsum("cij,rci->rcj", rot, ro[:, None, :] - off[None])
-        rd_o = jnp.einsum("cij,ri->rcj", rot, rd)
+        ro_o = jnp.einsum("cij,rci->rcj", rot, ro[:, None, :] - off[None],
+                           precision="highest")
+        rd_o = jnp.einsum("cij,ri->rcj", rot, rd, precision="highest")
     else:
         ro_o = ro[:, None, :]
         rd_o = rd[:, None, :]
@@ -199,8 +200,8 @@ def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
     if scene.any_transform:
         rot = prims.xf_rot[idx]               # (R, 3, 3)
         off = prims.xf_off[idx]
-        ro_o = jnp.einsum("rij,ri->rj", rot, ro - off)
-        rd_o = jnp.einsum("rij,ri->rj", rot, rd)
+        ro_o = jnp.einsum("rij,ri->rj", rot, ro - off, precision="highest")
+        rd_o = jnp.einsum("rij,ri->rj", rot, rd, precision="highest")
     else:
         ro_o, rd_o = ro, rd
     p_o = ro_o + ts[:, None] * rd_o
@@ -233,7 +234,7 @@ def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
     front = vec.dot(rd_o, normal_o) < 0.0
     normal_o = vec.where3(front, normal_o, -normal_o)
     if scene.any_transform:
-        normal_w = jnp.einsum("rij,rj->ri", rot, normal_o)
+        normal_w = jnp.einsum("rij,rj->ri", rot, normal_o, precision="highest")
     else:
         normal_w = normal_o
 

@@ -23,20 +23,24 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def render_sharded(wave_fn, n_waves: int, base_key, mesh: Mesh, out_shape):
-    """Sum ``wave_fn(fold_in(base_key, w))`` for w in [0, n_waves) over the mesh."""
+def render_sharded(wave_fn, n_waves: int, s_wave: int, base_key, mesh: Mesh,
+                   out_shape):
+    """Sum ``wave_fn(fold_in(base_key, w), w * s_wave)`` for w in
+    [0, n_waves) over the mesh (keys/sample offsets come from the *global*
+    wave index, so the image matches the single-device render)."""
     d = mesh.devices.size
     n_pad = -(-n_waves // d) * d
     keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(jnp.arange(n_pad))
     weights = (jnp.arange(n_pad) < n_waves).astype(jnp.float32)
+    sample0s = (jnp.arange(n_pad) * s_wave).astype(jnp.uint32)
 
-    def body(keys_local, w_local):
-        def step(acc, kw):
-            key, wt = kw
-            return acc + wt * wave_fn(key), None
+    def body(keys_local, w_local, s0_local):
+        def step(acc, kws):
+            key, wt, s0 = kws
+            return acc + wt * wave_fn(key, s0), None
 
         acc, _ = jax.lax.scan(
-            step, jnp.zeros(out_shape, jnp.float32), (keys_local, w_local)
+            step, jnp.zeros(out_shape, jnp.float32), (keys_local, w_local, s0_local)
         )
         return jax.lax.psum(acc, "d")
 
@@ -44,6 +48,7 @@ def render_sharded(wave_fn, n_waves: int, base_key, mesh: Mesh, out_shape):
     # device-invariant zeros and becomes device-varying through the per-device
     # keys; the automatic varying-manual-axes check cannot express that.
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(P("d"), P("d")), out_specs=P(), check_vma=False
+        body, mesh=mesh, in_specs=(P("d"), P("d"), P("d")), out_specs=P(),
+        check_vma=False,
     )
-    return jax.jit(fn)(keys, weights)
+    return jax.jit(fn)(keys, weights, sample0s)

@@ -1,12 +1,14 @@
-"""Render driver: sample waves, accumulation, checkpointing.
+"""Render driver: sample scheduling, accumulation, checkpointing.
 
 Replaces the reference's row-by-row spark pipeline (``runRender``,
 src/Lib.hs:1491-1523): instead of one RNG per image column threaded row to
-row, every wave renders k jittered samples for every pixel of the image in
-one wavefront (W*H*k rays), and waves accumulate into an (H, W, 3) film until
-the target samples-per-pixel is reached.  Wave keys are derived from the
-global wave index, so the result is independent of how waves are scheduled
-(host loop here, device mesh in tpu_ray.parallel).
+row, the image is rendered by a pool of ray slots (k slots per pixel) that
+regenerate camera samples as paths terminate (:func:`tpu_ray.integrator.
+trace_pool`).  Work is split into "waves" of ``samples_per_wave`` samples
+per slot - the unit of progress reporting, checkpointing and multi-device
+scheduling.  Wave keys and per-sample camera keys derive from global
+indices, so a render is reproducible and independent of how waves are
+scheduled (host loop here, device mesh in tpu_ray.parallel).
 
 Monte-Carlo accumulation is associative, so the film doubles as a
 checkpoint: pass ``checkpoint_path`` to make the render resumable (the
@@ -16,7 +18,6 @@ stdout - SURVEY.md section 5).
 from __future__ import annotations
 
 import sys
-import time
 from typing import Optional
 
 import jax
@@ -24,39 +25,84 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.camera import Camera
-from .integrator import trace
+from .integrator import trace, trace_pool
 from .models.scene_data import SceneData
 
 
-def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int) -> int:
-    """Largest divisor of spp with width*height*k <= rays_per_wave."""
-    k = max(1, min(rays_per_wave // max(width * height, 1), spp))
-    while spp % k:
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    k = max(1, min(cap, n))
+    while n % k:
         k -= 1
     return k
 
 
-def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
-                 k: int, max_depth: int):
-    """Build fn(key) -> (H, W, 3) sum of k radiance samples per pixel.
+def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int) -> int:
+    """Largest divisor of spp with width*height*k <= rays_per_wave."""
+    return _largest_divisor_leq(spp, max(1, rays_per_wave // max(width * height, 1)))
 
-    Pixel (col x, image row r) maps to screen fractions
-    u = (x + ju)/W, v = (H-1-r + jv)/H with jitter j ~ U[0,1), matching
-    ``uniformRandomUVs`` + ``pixelPositions`` (src/Lib.hs:1352-1371, 1488-1489).
-    """
+
+def _pixel_grid(width: int, height: int, k: int):
+    """Flattened (k, H, W) pixel coordinate fractions: image row 0 is the
+    top of the frame, i.e. y = height-1 (pixelPositions, src/Lib.hs:1488-1489)."""
     ys = jnp.broadcast_to(
         jnp.arange(height - 1, -1, -1, dtype=jnp.float32)[None, :, None],
         (k, height, width),
-    ).reshape(-1)
+    ).reshape(-1) / height
     xs = jnp.broadcast_to(
         jnp.arange(width, dtype=jnp.float32)[None, None, :], (k, height, width)
-    ).reshape(-1)
+    ).reshape(-1) / width
+    return xs, ys
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 9), donate_argnums=0)
+def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
+               sample0, max_depth):
+    """One pool wave, accumulated into the film.
+
+    Module-level jit with scene/camera as *arguments* and ``n_samples``
+    traced: every render() call of the same scene structure and image shape
+    reuses one compiled executable (remote TPU compiles cost minutes), and a
+    1-sample warmup compiles the same program as a 64-sample wave.
+    """
+    xs, ys = _pixel_grid(width, height, k_pool)
+    rad, _ = trace_pool(
+        scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
+        n_samples, sample0, max_depth,
+    )
+    return accum + rad.reshape(k_pool, height, width, 3).sum(axis=0)
+
+
+def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
+                      k_pool: int, samples_per_slot: int, max_depth: int):
+    """fn(key, sample0) -> (H, W, 3) radiance summed over
+    k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
+    xs, ys = _pixel_grid(width, height, k_pool)
+
+    def wave(key, sample0):
+        accum, _ = trace_pool(
+            scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
+            samples_per_slot, sample0, max_depth,
+        )
+        return accum.reshape(k_pool, height, width, 3).sum(axis=0)
+
+    return wave
+
+
+def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
+                 k: int, max_depth: int):
+    """Plain-wavefront variant (one sample per slot per wave): fn(key) ->
+    (H, W, 3) sum of k samples per pixel.  Kept as the semantic reference;
+    the pool integrator is the fast path."""
+    xs, ys = _pixel_grid(width, height, k)
 
     def wave(key):
         k_jit, k_cam, k_path = jax.random.split(key, 3)
         jitter = jax.random.uniform(k_jit, (xs.shape[0], 2))
-        u = (xs + jitter[:, 0]) / width
-        v = (ys + jitter[:, 1]) / height
+        u = xs + jitter[:, 0] / width
+        v = ys + jitter[:, 1] / height
         ro, rd, rt = camera.get_rays(k_cam, u, v)
         rad = trace(scene, ro, rd, rt, k_path, max_depth)
         return rad.reshape(k, height, width, 3).sum(axis=0)
@@ -73,31 +119,66 @@ def render(
     max_depth: int = 50,
     seed: int = 1024,
     rays_per_wave: int = 1 << 20,
+    samples_per_wave: int = 64,
+    mode: str = "pool",
     mesh=None,
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
 ) -> np.ndarray:
-    """Render to a linear (H, W, 3) float32 image (mean over spp samples)."""
-    k = pick_samples_per_wave(width, height, spp, rays_per_wave)
-    n_waves = spp // k
+    """Render to a linear (H, W, 3) float32 image (mean over spp samples).
+
+    ``rays_per_wave`` bounds the ray-pool size (W*H*k_pool lanes);
+    ``samples_per_wave`` bounds how many samples each slot renders per wave
+    (larger waves amortize the path-length tail; smaller waves give finer
+    progress/checkpoint/mesh granularity).
+    """
     base_key = jax.random.PRNGKey(seed)
-    wave_fn = make_wave_fn(scene, camera, width, height, k, max_depth)
+
+    if mode == "wave":
+        k = pick_samples_per_wave(width, height, spp, rays_per_wave)
+        n_waves = spp // k
+        wf = make_wave_fn(scene, camera, width, height, k, max_depth)
+        wave_fn = lambda key, sample0: wf(key)
+        wave_spp = k
+    else:
+        k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
+        s_total = spp // k_pool
+        s_wave = _largest_divisor_leq(s_total, samples_per_wave)
+        n_waves = s_total // s_wave
+        wave_fn = make_pool_wave_fn(
+            scene, camera, width, height, k_pool, s_wave, max_depth
+        )
+        wave_spp = k_pool * s_wave
 
     if mesh is not None:
         from .parallel.mesh import render_sharded
 
-        accum = render_sharded(wave_fn, n_waves, base_key, mesh, (height, width, 3))
+        accum = render_sharded(
+            wave_fn, n_waves, s_wave if mode != "wave" else 0, base_key, mesh,
+            (height, width, 3),
+        )
         return np.asarray(accum) / spp
 
-    step = jax.jit(lambda acc, key: acc + wave_fn(key), donate_argnums=0)
+    if mode == "wave":
+        _wave_jit = jax.jit(
+            lambda acc, key, sample0: acc + wave_fn(key, sample0), donate_argnums=0
+        )
+        step = _wave_jit
+    else:
+        s_wave_arr = jnp.int32(s_wave)
+
+        def step(acc, key, sample0):
+            return _pool_step(acc, scene, camera, key, width, height, k_pool,
+                              s_wave_arr, sample0, max_depth)
+
     accum = jnp.zeros((height, width, 3), jnp.float32)
     start_wave = 0
 
     if checkpoint_path:
         try:
             ck = np.load(checkpoint_path)
-            if int(ck["k"]) == k and int(ck["n_waves"]) == n_waves:
+            if int(ck["wave_spp"]) == wave_spp and int(ck["n_waves"]) == n_waves:
                 accum = jnp.asarray(ck["accum"])
                 start_wave = int(ck["waves_done"])
                 if progress:
@@ -108,11 +189,12 @@ def render(
     for w in range(start_wave, n_waves):
         if progress:
             print(f"\rRendering wave {w + 1} of {n_waves}", end="", file=sys.stderr)
-        accum = step(accum, jax.random.fold_in(base_key, w))
+        sample0 = jnp.uint32(w * (s_wave if mode != "wave" else 0))
+        accum = step(accum, jax.random.fold_in(base_key, w), sample0)
         if checkpoint_path and checkpoint_every and (w + 1) % checkpoint_every == 0:
             np.savez(
                 checkpoint_path, accum=np.asarray(accum), waves_done=w + 1,
-                k=k, n_waves=n_waves,
+                wave_spp=wave_spp, n_waves=n_waves,
             )
     if progress:
         print(file=sys.stderr)
