@@ -22,9 +22,39 @@ __all__ = [
     "unit_vector",
     "cosine_direction",
     "to_sphere",
+    "unit_vector_from",
+    "cosine_direction_from",
+    "to_sphere_from",
+    "hash_uniforms",
 ]
 
 TWO_PI = 2.0 * jnp.pi
+
+
+def _murmur3_fmix(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer: full-avalanche 32-bit mix."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_uniforms(seed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """n decorrelated U[0,1) floats per uint32 seed: (R,) -> (R, n).
+
+    A cheap counter-hash (murmur3 finalizer) for per-lane camera-sample
+    streams inside the bounce loop, where a full per-lane threefry fold_in
+    chain is overkill; path-space randomness stays on threefry.
+    """
+    cols = []
+    for i in range(n):
+        salt = jnp.uint32(0x9E3779B9) * jnp.uint32(i + 1)
+        bits = _murmur3_fmix(_murmur3_fmix(seed.astype(jnp.uint32) + salt) ^ salt)
+        cols.append(bits)
+    bits = jnp.stack(cols, axis=-1)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0) -> jnp.ndarray:
@@ -46,21 +76,22 @@ def in_unit_disk(key, shape=()) -> jnp.ndarray:
     )
 
 
-def unit_vector(key, shape=()) -> jnp.ndarray:
-    """Uniform direction on the unit sphere (reference: src/Lib.hs:1187-1197).
-
-    Same analytic construction as the reference: z = 2u-1, a = 2*pi*u'.
-    """
-    u = jax.random.uniform(key, shape + (2,), jnp.float32)
+def unit_vector_from(u: jnp.ndarray) -> jnp.ndarray:
+    """Uniform direction on the unit sphere from 2 uniforms (..., 2)
+    (reference: src/Lib.hs:1187-1197): z = 2u-1, a = 2*pi*u'."""
     a = TWO_PI * u[..., 0]
     z = 2.0 * u[..., 1] - 1.0
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)
 
 
-def cosine_direction(key, shape=()) -> jnp.ndarray:
-    """Cosine-weighted direction about +z (reference: src/Lib.hs:1206-1217)."""
-    u = jax.random.uniform(key, shape + (2,), jnp.float32)
+def unit_vector(key, shape=()) -> jnp.ndarray:
+    return unit_vector_from(jax.random.uniform(key, shape + (2,), jnp.float32))
+
+
+def cosine_direction_from(u: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted direction about +z from 2 uniforms
+    (reference: src/Lib.hs:1206-1217)."""
     r1, r2 = u[..., 0], u[..., 1]
     z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
     phi = TWO_PI * r1
@@ -68,16 +99,23 @@ def cosine_direction(key, shape=()) -> jnp.ndarray:
     return jnp.stack([jnp.cos(phi) * sq_r2, jnp.sin(phi) * sq_r2, z], axis=-1)
 
 
-def to_sphere(key, radius, dist_squared, shape=()) -> jnp.ndarray:
-    """Direction in the cone subtended by a sphere (reference: src/Lib.hs:1219-1228).
+def cosine_direction(key, shape=()) -> jnp.ndarray:
+    return cosine_direction_from(jax.random.uniform(key, shape + (2,), jnp.float32))
 
-    Local frame: +z points at the sphere center.  ``radius``/``dist_squared``
-    broadcast against ``shape``.
-    """
-    u = jax.random.uniform(key, shape + (2,), jnp.float32)
+
+def to_sphere_from(u: jnp.ndarray, radius, dist_squared) -> jnp.ndarray:
+    """Direction in the cone subtended by a sphere, from 2 uniforms
+    (reference: src/Lib.hs:1219-1228).  Local frame: +z points at the
+    sphere center; ``radius``/``dist_squared`` broadcast."""
     r1, r2 = u[..., 0], u[..., 1]
     cos_theta_max = jnp.sqrt(jnp.maximum(1.0 - radius * radius / dist_squared, 0.0))
     z = 1.0 + r2 * (cos_theta_max - 1.0)
     phi = TWO_PI * r1
     sq = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     return jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
+
+
+def to_sphere(key, radius, dist_squared, shape=()) -> jnp.ndarray:
+    return to_sphere_from(
+        jax.random.uniform(key, shape + (2,), jnp.float32), radius, dist_squared
+    )

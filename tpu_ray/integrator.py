@@ -25,10 +25,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .core import rng as rng_mod
 from .core import vec
 from .models.scene_data import SceneData
 from .ops.intersect import intersect_scene
 from .ops.scatter import scatter
+
+
+def _make_isect(scene, bvh):
+    if bvh is None:
+        return lambda ro, rd, rt, key: intersect_scene(scene, ro, rd, rt, key)
+    from .ops.bvh import intersect_scene_bvh
+
+    return lambda ro, rd, rt, key: intersect_scene_bvh(scene, bvh, ro, rd, rt, key)
 
 
 class _PathState(NamedTuple):
@@ -40,12 +49,15 @@ class _PathState(NamedTuple):
     alive: jnp.ndarray       # (R,) bool
 
 
-def trace(scene: SceneData, ro, rd, rt, key, max_depth: int):
+def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None):
     """Trace a wavefront to completion; returns per-ray radiance (R, 3).
 
     ``rt`` is the per-ray shutter time, constant along each path (the
-    reference threads ``rtime`` through every scattered ray).
+    reference threads ``rtime`` through every scattered ray).  Pass a
+    :class:`~tpu_ray.ops.bvh.BVHArrays` as ``bvh`` to use traversal instead
+    of the brute-force intersector.
     """
+    isect = _make_isect(scene, bvh)
     R = ro.shape[0]
     state = _PathState(
         bounce=jnp.int32(0),
@@ -61,9 +73,7 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int):
 
     def body(s: _PathState) -> _PathState:
         kb = jax.random.fold_in(key, s.bounce)
-        rec = intersect_scene(
-            scene, s.origin, s.direction, rt, jax.random.fold_in(kb, 0)
-        )
+        rec = isect(s.origin, s.direction, rt, jax.random.fold_in(kb, 0))
         sc = scatter(scene, jax.random.fold_in(kb, 1), s.direction, rec)
 
         miss = s.alive & ~rec.hit
@@ -113,6 +123,8 @@ def trace_pool(
     n_samples,                 # samples each slot must complete (traced ok)
     sample0,                   # global index of each slot's first sample
     max_depth: int,
+    cam_salt=jnp.uint32(0),    # render-level salt for the camera stream
+    bvh=None,                  # optional BVHArrays for traversal
 ):
     """Ray-pool path tracing with immediate path regeneration.
 
@@ -138,17 +150,20 @@ def trace_pool(
             jnp.full((R,), 1, jnp.int32) * n_samples,
         )
     n_samples = jnp.asarray(n_samples, jnp.int32)
-    k_cam, k_loop = jax.random.split(key)
+    isect = _make_isect(scene, bvh)
+    k_loop = key
     slot_ids = jnp.arange(R, dtype=jnp.uint32)
-    fold_all = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+    cam_salt = jnp.asarray(cam_salt, jnp.uint32)
     inv_w, inv_h = inv_wh
 
     def regen(state: _PoolState, just_died) -> _PoolState:
         """Start the next sample on slots whose path just ended."""
         want = just_died & (state.sample < n_samples)
-        # per-(slot, global sample) camera uniforms: jitter x/y, lens, time
+        # per-(slot, global sample) camera uniforms: jitter x/y, lens, time,
+        # from a cheap counter hash keyed by the global sample index (so the
+        # estimate is independent of wave scheduling)
         seeds = (sample0 + state.sample.astype(jnp.uint32)) * jnp.uint32(R) + slot_ids
-        u5 = jax.vmap(lambda k: jax.random.uniform(k, (5,)))(fold_all(k_cam, seeds))
+        u5 = rng_mod.hash_uniforms(seeds ^ cam_salt, 5)
         ro, rd, rt = camera.rays_from_uniforms(
             s + u5[:, 0] * inv_w, t + u5[:, 1] * inv_h, u5[:, 2:5]
         )
@@ -173,7 +188,7 @@ def trace_pool(
         active=jnp.zeros((R,), bool),
         accum=jnp.zeros((R, 3), jnp.float32),
     )
-    # launch sample 0 on every slot
+    # launch the first sample on every slot
     state = regen(state, jnp.ones((R,), bool))
 
     def cond(st: _PoolState):
@@ -184,9 +199,7 @@ def trace_pool(
 
     def body(st: _PoolState) -> _PoolState:
         kb = jax.random.fold_in(k_loop, st.iteration)
-        rec = intersect_scene(
-            scene, st.origin, st.direction, st.time, jax.random.fold_in(kb, 0)
-        )
+        rec = isect(st.origin, st.direction, st.time, jax.random.fold_in(kb, 0))
         sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec)
 
         miss = st.active & ~rec.hit

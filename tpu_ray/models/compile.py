@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from . import objects as ob
 from .scene_data import (
-    LIGHT_RECT,
+    LIGHT_QUAD,
     LIGHT_SPHERE,
     MAT_DIELECTRIC,
     MAT_DIFFUSE_LIGHT,
@@ -40,7 +40,7 @@ from .scene_data import (
     MAT_METAL,
     PRIM_MEDIUM_BOX,
     PRIM_MEDIUM_SPHERE,
-    PRIM_RECT,
+    PRIM_QUAD,
     PRIM_SPHERE,
     TEX_CHECKER,
     TEX_CONSTANT,
@@ -155,7 +155,7 @@ class _Prim:
 
     __slots__ = (
         "kind", "mat", "center", "velocity", "time0", "radius",
-        "axes", "bounds", "box_min", "box_max", "neg_inv_density",
+        "p0", "e1", "e2", "n", "box_min", "box_max", "neg_inv_density",
         "rot", "off",
     )
 
@@ -166,8 +166,10 @@ class _Prim:
         self.velocity = np.zeros(3)
         self.time0 = 0.0
         self.radius = 0.0
-        self.axes = (0, 1, 2)
-        self.bounds = np.zeros(5)
+        self.p0 = np.zeros(3)
+        self.e1 = np.zeros(3)
+        self.e2 = np.zeros(3)
+        self.n = np.zeros(3)
         self.box_min = np.zeros(3)
         self.box_max = np.zeros(3)
         self.neg_inv_density = 0.0
@@ -217,10 +219,19 @@ def _flatten(
         p.radius = float(obj.radius)
         out.append(p)
     elif isinstance(obj, ob.Rect):
-        p = _Prim(PRIM_RECT, tables.material(obj.material))
-        p.axes = _PLANE_AXES[obj.plane]
-        p.bounds = np.array([obj.i0, obj.i1, obj.j0, obj.j1, obj.k], np.float64)
-        p.rot, p.off = rot, off
+        # compile the axis-aligned rect + accumulated rigid transform into a
+        # world-space parallelogram: corner + two edges + normal
+        p = _Prim(PRIM_QUAD, tables.material(obj.material))
+        ia, ja, ka = _PLANE_AXES[obj.plane]
+        p0 = np.zeros(3); p0[ia], p0[ja], p0[ka] = obj.i0, obj.j0, obj.k
+        e1 = np.zeros(3); e1[ia] = obj.i1 - obj.i0
+        e2 = np.zeros(3); e2[ja] = obj.j1 - obj.j0
+        n = np.zeros(3); n[ka] = 1.0  # outward normal = +k axis
+        # (src/Lib.hs:1005-1012); NOT e1 x e2, whose sign flips for XZ
+        p.p0 = rot @ p0 + off
+        p.e1 = rot @ e1
+        p.e2 = rot @ e2
+        p.n = rot @ n
         out.append(p)
     elif isinstance(obj, ob.Box):
         for r in _box_rects(obj):
@@ -282,6 +293,16 @@ def _one_hot(axis: int) -> np.ndarray:
     return v
 
 
+def _quad_derived(p0, e1, e2, n):
+    """Derived quad quantities: plane offset, uv projectors, area."""
+    d = np.sum(p0 * n, -1)
+    inv1 = e1 / np.maximum(np.sum(e1 * e1, -1), 1e-30)[:, None]
+    inv2 = e2 / np.maximum(np.sum(e2 * e2, -1), 1e-30)[:, None]
+    area = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    return d.astype(np.float32), inv1.astype(np.float32), \
+        inv2.astype(np.float32), area.astype(np.float32)
+
+
 def build_scene(
     world: Union[ob.Object, Sequence[ob.Object]],
     lights: Sequence[ob.Object] = (),
@@ -308,19 +329,25 @@ def build_scene(
     velocity = np.stack([p.velocity for p in prims]).astype(np.float32)
     time0 = np.array([p.time0 for p in prims], np.float32)
     radius = np.array([p.radius for p in prims], np.float32)
-    rect_i = np.stack([_one_hot(p.axes[0]) for p in prims])
-    rect_j = np.stack([_one_hot(p.axes[1]) for p in prims])
-    rect_k = np.stack([_one_hot(p.axes[2]) for p in prims])
-    rect_bounds = np.stack([p.bounds for p in prims]).astype(np.float32)
+    quad_p0 = np.stack([p.p0 for p in prims]).astype(np.float32)
+    quad_e1 = np.stack([p.e1 for p in prims]).astype(np.float32)
+    quad_e2 = np.stack([p.e2 for p in prims]).astype(np.float32)
+    quad_n = np.stack([p.n for p in prims]).astype(np.float32)
+    quad_d, quad_inv1, quad_inv2, _ = _quad_derived(quad_p0, quad_e1, quad_e2, quad_n)
     box_min = np.stack([p.box_min for p in prims]).astype(np.float32)
     box_max = np.stack([p.box_max for p in prims]).astype(np.float32)
     neg_inv_density = np.array([p.neg_inv_density for p in prims], np.float32)
+    medium_slot = np.zeros(n, np.int32)
+    is_medium = (kind == PRIM_MEDIUM_SPHERE) | (kind == PRIM_MEDIUM_BOX)
+    medium_slot[is_medium] = np.arange(int(is_medium.sum()), dtype=np.int32)
+    n_media = int(is_medium.sum())
     xf_rot = np.stack([p.rot for p in prims]).astype(np.float32)
     xf_off = np.stack([p.off for p in prims]).astype(np.float32)
 
-    identity = np.array(
-        [_is_identity(p.rot, p.off) for p in prims], bool
-    )
+    box_media = kind == PRIM_MEDIUM_BOX
+    live_transform = np.array(
+        [not _is_identity(p.rot, p.off) for p in prims], bool
+    ) & box_media
 
     prim_arrays = PrimArrays(
         kind=jnp.asarray(kind),
@@ -329,13 +356,17 @@ def build_scene(
         velocity=jnp.asarray(velocity),
         time0=jnp.asarray(time0),
         radius=jnp.asarray(radius),
-        rect_i=jnp.asarray(rect_i),
-        rect_j=jnp.asarray(rect_j),
-        rect_k=jnp.asarray(rect_k),
-        rect_bounds=jnp.asarray(rect_bounds),
+        quad_p0=jnp.asarray(quad_p0),
+        quad_e1=jnp.asarray(quad_e1),
+        quad_e2=jnp.asarray(quad_e2),
+        quad_n=jnp.asarray(quad_n),
+        quad_d=jnp.asarray(quad_d),
+        quad_inv1=jnp.asarray(quad_inv1),
+        quad_inv2=jnp.asarray(quad_inv2),
         box_min=jnp.asarray(box_min),
         box_max=jnp.asarray(box_max),
         neg_inv_density=jnp.asarray(neg_inv_density),
+        medium_slot=jnp.asarray(medium_slot),
         xf_rot=jnp.asarray(xf_rot),
         xf_off=jnp.asarray(xf_off),
     )
@@ -390,32 +421,39 @@ def build_scene(
     lrows = []
     for lt in lights:
         if isinstance(lt, ob.Rect):
-            ax = _PLANE_AXES[lt.plane]
-            lrows.append(
-                (LIGHT_RECT, _one_hot(ax[0]), _one_hot(ax[1]), _one_hot(ax[2]),
-                 np.array([lt.i0, lt.i1, lt.j0, lt.j1, lt.k], np.float32),
-                 np.zeros(3, np.float32), 0.0)
-            )
+            ia, ja, ka = _PLANE_AXES[lt.plane]
+            p0 = np.zeros(3); p0[ia], p0[ja], p0[ka] = lt.i0, lt.j0, lt.k
+            e1 = np.zeros(3); e1[ia] = lt.i1 - lt.i0
+            e2 = np.zeros(3); e2[ja] = lt.j1 - lt.j0
+            nrm = np.zeros(3); nrm[ka] = 1.0
+            lrows.append((LIGHT_QUAD, p0, e1, e2, nrm, np.zeros(3), 0.0))
         elif isinstance(lt, ob.Sphere):
-            lrows.append(
-                (LIGHT_SPHERE, _one_hot(0), _one_hot(1), _one_hot(2),
-                 np.zeros(5, np.float32),
-                 np.asarray(lt.center, np.float32), float(lt.radius))
-            )
+            lrows.append((LIGHT_SPHERE, np.zeros(3), np.zeros(3), np.zeros(3),
+                          np.zeros(3), np.asarray(lt.center, np.float64),
+                          float(lt.radius)))
         else:
             raise TypeError(f"unsupported light {lt!r} (Rect or Sphere only)")
     n_lights = len(lrows)
     if not lrows:  # dummy row so the arrays are non-empty
-        lrows.append((LIGHT_RECT, _one_hot(0), _one_hot(1), _one_hot(2),
-                      np.zeros(5, np.float32), np.zeros(3, np.float32), 0.0))
-    lk, li, lj, lkk, lb, lc, lr = zip(*lrows)
+        lrows.append((LIGHT_QUAD, np.zeros(3), np.ones(3), np.ones(3),
+                      np.array([0.0, 0.0, 1.0]), np.zeros(3), 0.0))
+    lk, lp0, le1, le2, ln, lc, lr = zip(*lrows)
+    lp0 = np.stack(lp0).astype(np.float32)
+    le1 = np.stack(le1).astype(np.float32)
+    le2 = np.stack(le2).astype(np.float32)
+    ln = np.stack(ln).astype(np.float32)
+    ld, linv1, linv2, larea = _quad_derived(lp0, le1, le2, ln)
     light_arrays = LightArrays(
         kind=jnp.asarray(np.array(lk, np.int32)),
-        rect_i=jnp.asarray(np.stack(li)),
-        rect_j=jnp.asarray(np.stack(lj)),
-        rect_k=jnp.asarray(np.stack(lkk)),
-        rect_bounds=jnp.asarray(np.stack(lb)),
-        center=jnp.asarray(np.stack(lc)),
+        quad_p0=jnp.asarray(lp0),
+        quad_e1=jnp.asarray(le1),
+        quad_e2=jnp.asarray(le2),
+        quad_n=jnp.asarray(ln),
+        quad_d=jnp.asarray(ld),
+        quad_inv1=jnp.asarray(linv1),
+        quad_inv2=jnp.asarray(linv2),
+        quad_area=jnp.asarray(larea),
+        center=jnp.asarray(np.stack(lc).astype(np.float32)),
         radius=jnp.asarray(np.array(lr, np.float32)),
     )
 
@@ -428,11 +466,13 @@ def build_scene(
         background=jnp.asarray(np.array(background, np.float32)),
         n_prims=n,
         n_lights=n_lights,
-        has_media=bool(np.any((kind == PRIM_MEDIUM_SPHERE) | (kind == PRIM_MEDIUM_BOX))),
+        has_media=n_media > 0,
+        n_media=n_media,
+        has_box_media=bool(np.any(box_media)),
         has_moving=bool(np.any(np.abs(velocity) > 0)),
-        has_rects=bool(np.any(kind == PRIM_RECT)),
+        has_quads=bool(np.any(kind == PRIM_QUAD)),
         has_spheres=bool(np.any((kind == PRIM_SPHERE) | (kind == PRIM_MEDIUM_SPHERE))),
-        any_transform=bool(np.any(~identity)),
+        any_transform=bool(np.any(live_transform)),
         has_checker=TEX_CHECKER in tex_kinds,
         has_perlin=TEX_PERLIN in tex_kinds,
         has_image=TEX_IMAGE in tex_kinds,

@@ -18,7 +18,7 @@ from flax import struct
 
 # Primitive kinds
 PRIM_SPHERE = 0        # static or moving sphere (velocity field)
-PRIM_RECT = 1          # axis-aligned rectangle (any of the 3 orientations)
+PRIM_QUAD = 1          # parallelogram (any rect orientation x any rigid xform)
 PRIM_MEDIUM_SPHERE = 2  # constant-density medium with sphere boundary
 PRIM_MEDIUM_BOX = 3     # constant-density medium with box boundary
 
@@ -36,7 +36,7 @@ TEX_PERLIN = 2
 TEX_IMAGE = 3
 
 # Light kinds
-LIGHT_RECT = 0
+LIGHT_QUAD = 0
 LIGHT_SPHERE = 1
 
 
@@ -52,22 +52,33 @@ class PrimArrays:
 
     kind: jnp.ndarray          # (N,) int32
     mat: jnp.ndarray           # (N,) int32 material index
-    # sphere / medium-sphere
+    # sphere / medium-sphere (world space - spheres are rotation invariant,
+    # so Translate/Rotate instancing is baked into the center)
     center: jnp.ndarray        # (N, 3) center at time0
     velocity: jnp.ndarray      # (N, 3) (c1 - c0)/duration; 0 for static
     time0: jnp.ndarray         # (N,)
     radius: jnp.ndarray        # (N,)
-    # rect: unit one-hot axes for the in-plane i/j axes and the normal k axis
-    rect_i: jnp.ndarray        # (N, 3)
-    rect_j: jnp.ndarray        # (N, 3)
-    rect_k: jnp.ndarray        # (N, 3)
-    rect_bounds: jnp.ndarray   # (N, 5): i0, i1, j0, j1, k
-    # medium-box boundary
+    # quad: world-space parallelogram.  The reference's three axis-aligned
+    # rect orientations (src/Lib.hs:607-660) and any rigid instancing of
+    # them compile to one world-space form: corner p0 + edges e1/e2, so the
+    # intersector never has to move rays into object space.
+    quad_p0: jnp.ndarray       # (N, 3)
+    quad_e1: jnp.ndarray       # (N, 3) edge along the reference's i axis
+    quad_e2: jnp.ndarray       # (N, 3) edge along the reference's j axis
+    quad_n: jnp.ndarray        # (N, 3) unit normal (rotated k axis)
+    quad_d: jnp.ndarray        # (N,) dot(p0, n): plane offset
+    quad_inv1: jnp.ndarray     # (N, 3) e1 / |e1|^2 (uv projection)
+    quad_inv2: jnp.ndarray     # (N, 3) e2 / |e2|^2
+    # medium-box boundary (object space; the only kind that keeps a live
+    # rigid transform)
     box_min: jnp.ndarray       # (N, 3)
     box_max: jnp.ndarray       # (N, 3)
-    # constant medium: -1/density (reference: src/Lib.hs:789-791)
+    # constant medium: -1/density (reference: src/Lib.hs:789-791) and a
+    # compact index among the scene's media (free-flight uniforms are drawn
+    # per (ray, medium), not per (ray, prim))
     neg_inv_density: jnp.ndarray  # (N,)
-    # instance transform, world_from_object: x_w = rot @ x_o + off
+    medium_slot: jnp.ndarray      # (N,) int32
+    # instance transform for medium boxes, world_from_object: x_w = R x_o + t
     xf_rot: jnp.ndarray        # (N, 3, 3)
     xf_off: jnp.ndarray        # (N, 3)
 
@@ -108,10 +119,14 @@ class LightArrays:
     """
 
     kind: jnp.ndarray      # (L,) int32
-    rect_i: jnp.ndarray    # (L, 3)
-    rect_j: jnp.ndarray    # (L, 3)
-    rect_k: jnp.ndarray    # (L, 3)
-    rect_bounds: jnp.ndarray  # (L, 5)
+    quad_p0: jnp.ndarray   # (L, 3)
+    quad_e1: jnp.ndarray   # (L, 3)
+    quad_e2: jnp.ndarray   # (L, 3)
+    quad_n: jnp.ndarray    # (L, 3) unit normal
+    quad_d: jnp.ndarray    # (L,) dot(p0, n)
+    quad_inv1: jnp.ndarray  # (L, 3)
+    quad_inv2: jnp.ndarray  # (L, 3)
+    quad_area: jnp.ndarray  # (L,) |e1 x e2|
     center: jnp.ndarray    # (L, 3) sphere center
     radius: jnp.ndarray    # (L,) sphere radius
 
@@ -134,9 +149,12 @@ class SceneData:
     n_prims: int = struct.field(pytree_node=False, default=0)
     n_lights: int = struct.field(pytree_node=False, default=0)
     has_media: bool = struct.field(pytree_node=False, default=False)
+    n_media: int = struct.field(pytree_node=False, default=0)
+    has_box_media: bool = struct.field(pytree_node=False, default=False)
     has_moving: bool = struct.field(pytree_node=False, default=False)
-    has_rects: bool = struct.field(pytree_node=False, default=False)
+    has_quads: bool = struct.field(pytree_node=False, default=False)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
+    # any medium box carries a non-identity rigid transform
     any_transform: bool = struct.field(pytree_node=False, default=False)
     has_checker: bool = struct.field(pytree_node=False, default=False)
     has_perlin: bool = struct.field(pytree_node=False, default=False)

@@ -8,6 +8,12 @@ the VPU and reduces a running (t, prim) minimum.  Divergence-free, static
 shapes, nothing but elementwise ops and reductions - exactly what XLA fuses
 into a single pass over the (R, C) tile.
 
+All geometry lives in world space: the reference's ``Translate``/``Rotate``
+wrappers (src/Lib.hs:1029-1052) are baked into sphere centers (rotation
+invariant) and into quad corner/edge vectors at scene-build time, so no ray
+is ever moved into object space - except for medium *boxes*, the one shape
+whose slab test needs its own frame.
+
 Constant-density media (reference: src/Lib.hs:1053-1080) draw their
 free-flight distance from a per-(ray, prim) uniform.  Computing each medium
 independently against t_max = +inf and min-reducing afterwards is
@@ -15,10 +21,8 @@ distributionally identical to the reference's sequential traversal that
 clips t_max to the closest hit so far: the exponential sample is compared
 against the same minimum either way.
 
-Instance transforms (``Translate``/``Rotate``, reference src/Lib.hs:1029-1052)
-are applied by moving the ray into object space; hit t is invariant under
-rigid motion.  Front-face flags are computed once in object space (the
-reference re-derives them per wrapper with an already-flipped normal, a
+Front-face flags are computed once against the world normal (the reference
+re-derives them per instancing wrapper with an already-flipped normal, a
 no-op quirk for every scene it ships - see SURVEY.md section 2.3).
 """
 from __future__ import annotations
@@ -31,12 +35,12 @@ from ..core import vec
 from ..models.scene_data import (
     PRIM_MEDIUM_BOX,
     PRIM_MEDIUM_SPHERE,
-    PRIM_RECT,
+    PRIM_QUAD,
     PRIM_SPHERE,
     SceneData,
 )
 
-INF = float('inf')
+INF = float("inf")
 # epsilon used by the reference for the second boundary probe of a medium
 # (src/Lib.hs:1057) and for rect bbox padding
 MED_EPS = 1e-4
@@ -58,30 +62,14 @@ class HitRecord:
     prim: jnp.ndarray     # (R,) int32
 
 
-def _object_space(scene: SceneData, sl, ro, rd):
-    """Rays in each primitive's object frame: x_o = R^T (x_w - off)."""
-    if scene.any_transform:
-        rot = sl(scene.prims.xf_rot)          # (C, 3, 3)
-        off = sl(scene.prims.xf_off)          # (C, 3)
-        ro_o = jnp.einsum("cij,rci->rcj", rot, ro[:, None, :] - off[None],
-                           precision="highest")
-        rd_o = jnp.einsum("cij,ri->rcj", rot, rd, precision="highest")
-    else:
-        ro_o = ro[:, None, :]
-        rd_o = rd[:, None, :]
-    return ro_o, rd_o
-
-
 def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
              t_min, t_max):
     """Hit distance of every ray against prims [start, start+count) -> (R, C)."""
     sl = lambda a: jax.lax.slice_in_dim(a, start, start + count, axis=0)
     prims = scene.prims
     kind = sl(prims.kind)[None, :]            # (1, C)
-    ro_o, rd_o = _object_space(scene, sl, ro, rd)
-
-    a = vec.dot(rd_o, rd_o)                   # (R, C) or (R, 1)
-    t = jnp.full(ro.shape[:1] + (count,), INF)
+    a = vec.dot(rd, rd)[:, None]              # (R, 1)
+    t = jnp.full((ro.shape[0], count), INF)
 
     # ---- spheres (+ medium-sphere boundaries): quadratic, src/Lib.hs:1081-1105
     if scene.has_spheres:
@@ -90,10 +78,10 @@ def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
             # moving sphere lerps its center by ray time (src/Lib.hs:1106-1108)
             dt = rt[:, None] - sl(prims.time0)[None, :]
             ct = center[None] + sl(prims.velocity)[None] * dt[..., None]
+            oc = ro[:, None, :] - ct
         else:
-            ct = center[None]
-        oc = ro_o - ct
-        b = vec.dot(oc, rd_o)
+            oc = ro[:, None, :] - center[None]
+        b = vec.dot(oc, rd[:, None, :])
         c = vec.dot(oc, oc) - sl(prims.radius)[None] ** 2
         disc = b * b - a * c
         ok = disc > 0.0
@@ -107,21 +95,20 @@ def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
         )
         t = jnp.where(kind == PRIM_SPHERE, t_sph, t)
 
-    # ---- rects: plane solve + bounds, src/Lib.hs:1005-1028
-    if scene.has_rects:
-        ri, rj, rk = sl(prims.rect_i), sl(prims.rect_j), sl(prims.rect_k)
-        bounds = sl(prims.rect_bounds)        # (C, 5)
-        o_k = vec.dot(ro_o, rk[None])
-        d_k = vec.dot(rd_o, rk[None])
-        tr = (bounds[None, :, 4] - o_k) / d_k  # d_k == 0 -> +-inf, fails bounds
-        i = vec.dot(ro_o, ri[None]) + tr * vec.dot(rd_o, ri[None])
-        j = vec.dot(ro_o, rj[None]) + tr * vec.dot(rd_o, rj[None])
-        ok_r = (
-            (tr > t_min) & (tr < t_max)
-            & (i >= bounds[None, :, 0]) & (i <= bounds[None, :, 1])
-            & (j >= bounds[None, :, 2]) & (j <= bounds[None, :, 3])
+    # ---- quads: world-space parallelogram solve (generalizes the rect
+    # plane solve of src/Lib.hs:1005-1028 to any rigid instancing)
+    if scene.has_quads:
+        n = sl(prims.quad_n)                  # (C, 3)
+        dn = vec.dot(rd[:, None, :], n[None])
+        tq = (sl(prims.quad_d)[None] - vec.dot(ro[:, None, :], n[None])) / dn
+        x = ro[:, None, :] + tq[..., None] * rd[:, None, :] - sl(prims.quad_p0)[None]
+        uq = vec.dot(x, sl(prims.quad_inv1)[None])
+        vq = vec.dot(x, sl(prims.quad_inv2)[None])
+        ok_q = (
+            (tq > t_min) & (tq < t_max)
+            & (uq >= 0.0) & (uq <= 1.0) & (vq >= 0.0) & (vq <= 1.0)
         )
-        t = jnp.where(kind == PRIM_RECT, jnp.where(ok_r, tr, INF), t)
+        t = jnp.where(kind == PRIM_QUAD, jnp.where(ok_q, tq, INF), t)
 
     # ---- constant media: exponential free flight, src/Lib.hs:1053-1080
     if scene.has_media:
@@ -129,29 +116,42 @@ def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
         te = jnp.full_like(t, INF)
         tx = jnp.full_like(t, -INF)
         exists = jnp.zeros(t.shape, bool)
-        # sphere boundary: both roots (computed by the sphere section above;
-        # has_spheres is implied by any PRIM_MEDIUM_SPHERE in the scene)
+        # sphere boundary: both quadratic roots from the sphere section
         if scene.has_spheres:
             te = jnp.where(kind == PRIM_MEDIUM_SPHERE, t1, te)
             tx = jnp.where(kind == PRIM_MEDIUM_SPHERE, t2, tx)
             exists = exists | ((kind == PRIM_MEDIUM_SPHERE) & ok)
-        # box boundary: slab test (cf. boxRayIntersect, src/Lib.hs:798-814)
-        inv_d = 1.0 / rd_o
-        ta = (sl(prims.box_min)[None] - ro_o) * inv_d
-        tb = (sl(prims.box_max)[None] - ro_o) * inv_d
-        te_box = jnp.max(jnp.minimum(ta, tb), axis=-1)
-        tx_box = jnp.min(jnp.maximum(ta, tb), axis=-1)
-        te = jnp.where(kind == PRIM_MEDIUM_BOX, te_box, te)
-        tx = jnp.where(kind == PRIM_MEDIUM_BOX, tx_box, tx)
-        exists = exists | ((kind == PRIM_MEDIUM_BOX) & (tx_box > te_box))
+        # box boundary: slab test in the box's object frame
+        # (cf. boxRayIntersect, src/Lib.hs:798-814)
+        if scene.has_box_media:
+            if scene.any_transform:
+                rot = sl(prims.xf_rot)
+                off = sl(prims.xf_off)
+                ro_o = jnp.einsum(
+                    "cij,rci->rcj", rot, ro[:, None, :] - off[None],
+                    precision="highest",
+                )
+                rd_o = jnp.einsum("cij,ri->rcj", rot, rd, precision="highest")
+            else:
+                ro_o = ro[:, None, :]
+                rd_o = rd[:, None, :]
+            inv_d = 1.0 / rd_o
+            ta = (sl(prims.box_min)[None] - ro_o) * inv_d
+            tb = (sl(prims.box_max)[None] - ro_o) * inv_d
+            te_box = jnp.max(jnp.minimum(ta, tb), axis=-1)
+            tx_box = jnp.min(jnp.maximum(ta, tb), axis=-1)
+            te = jnp.where(kind == PRIM_MEDIUM_BOX, te_box, te)
+            tx = jnp.where(kind == PRIM_MEDIUM_BOX, tx_box, tx)
+            exists = exists | ((kind == PRIM_MEDIUM_BOX) & (tx_box > te_box))
         # second boundary probe starts at entry + eps (src/Lib.hs:1057)
         exists = exists & (tx > te + MED_EPS)
         rec1 = jnp.maximum(t_min, te)
         rec2 = tx
         dlen = jnp.sqrt(a)
         dist_inside = (rec2 - rec1) * dlen
+        u_chunk = u_med[:, sl(prims.medium_slot)]  # (R, C) from (R, n_media)
         hit_dist = sl(prims.neg_inv_density)[None] * jnp.log(
-            jnp.maximum(u_med, 1e-12)
+            jnp.maximum(u_chunk, 1e-12)
         )
         ok_m = exists & (rec1 < rec2) & (hit_dist <= dist_inside)
         t_med = jnp.where(ok_m, rec1 + hit_dist / dlen, INF)
@@ -172,12 +172,12 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF) -> HitRecord:
 
     best_t = jnp.full((R,), INF)
     best_i = jnp.zeros((R,), jnp.int32)
-    for ci, start in enumerate(range(0, n, CHUNK)):
+    # one free-flight uniform per (ray, medium) for the whole scene
+    u_med = (
+        jax.random.uniform(key, (R, scene.n_media)) if scene.has_media else None
+    )
+    for start in range(0, n, CHUNK):
         count = min(CHUNK, n - start)
-        if scene.has_media:
-            u_med = jax.random.uniform(jax.random.fold_in(key, ci), (R, count))
-        else:
-            u_med = None
         t = _chunk_t(scene, start, count, ro, rd, rt, u_med, t_min, t_max)
         ct = jnp.min(t, axis=1)
         cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + start
@@ -195,62 +195,45 @@ def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
     ts = jnp.where(hit, t, 1.0)  # keep dead lanes finite
     kind = prims.kind[idx]
     mat = prims.mat[idx]
-
     point = ro + ts[:, None] * rd
-    if scene.any_transform:
-        rot = prims.xf_rot[idx]               # (R, 3, 3)
-        off = prims.xf_off[idx]
-        ro_o = jnp.einsum("rij,ri->rj", rot, ro - off, precision="highest")
-        rd_o = jnp.einsum("rij,ri->rj", rot, rd, precision="highest")
-    else:
-        ro_o, rd_o = ro, rd
-    p_o = ro_o + ts[:, None] * rd_o
 
     # sphere normal + spherical UV (src/Lib.hs:1096-1105)
     ct = prims.center[idx]
     if scene.has_moving:
         ct = ct + prims.velocity[idx] * (rt - prims.time0[idx])[:, None]
-    n_sph = (p_o - ct) / jnp.maximum(prims.radius[idx], 1e-12)[:, None]
+    n_sph = (point - ct) / jnp.maximum(prims.radius[idx], 1e-12)[:, None]
     phi = jnp.arctan2(n_sph[..., 2], n_sph[..., 0])
     theta = jnp.arcsin(jnp.clip(n_sph[..., 1], -1.0, 1.0))
     u_sph = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
     v_sph = (theta + jnp.pi / 2.0) / jnp.pi
 
-    normal_o, uu, vv = n_sph, u_sph, v_sph
-    if scene.has_rects:
-        # rect normal + planar UV (src/Lib.hs:1014-1026)
-        ri, rj = prims.rect_i[idx], prims.rect_j[idx]
-        rk = prims.rect_k[idx]
-        b = prims.rect_bounds[idx]
-        i = vec.dot(p_o, ri)
-        j = vec.dot(p_o, rj)
-        u_rect = (i - b[:, 0]) / (b[:, 1] - b[:, 0])
-        v_rect = (j - b[:, 2]) / (b[:, 3] - b[:, 2])
-        is_rect = kind == PRIM_RECT
-        normal_o = vec.where3(is_rect, rk, normal_o)
-        uu = jnp.where(is_rect, u_rect, uu)
-        vv = jnp.where(is_rect, v_rect, vv)
+    normal, uu, vv = n_sph, u_sph, v_sph
+    if scene.has_quads:
+        # quad normal + parallelogram UV (src/Lib.hs:1014-1026)
+        x = point - prims.quad_p0[idx]
+        u_q = vec.dot(x, prims.quad_inv1[idx])
+        v_q = vec.dot(x, prims.quad_inv2[idx])
+        is_quad = kind == PRIM_QUAD
+        normal = vec.where3(is_quad, prims.quad_n[idx], normal)
+        uu = jnp.where(is_quad, u_q, uu)
+        vv = jnp.where(is_quad, v_q, vv)
 
-    front = vec.dot(rd_o, normal_o) < 0.0
-    normal_o = vec.where3(front, normal_o, -normal_o)
-    if scene.any_transform:
-        normal_w = jnp.einsum("rij,rj->ri", rot, normal_o, precision="highest")
-    else:
-        normal_w = normal_o
+    front = vec.dot(rd, normal) < 0.0
+    normal = vec.where3(front, normal, -normal)
 
     if scene.has_media:
         # medium hits: fixed normal (1,0,0), front face, uv = 0
         # (src/Lib.hs:1073-1079)
         is_med = kind >= PRIM_MEDIUM_SPHERE
         med_n = jnp.broadcast_to(
-            jnp.array([1.0, 0.0, 0.0], normal_w.dtype), normal_w.shape
+            jnp.array([1.0, 0.0, 0.0], normal.dtype), normal.shape
         )
-        normal_w = vec.where3(is_med, med_n, normal_w)
+        normal = vec.where3(is_med, med_n, normal)
         front = jnp.where(is_med, True, front)
         uu = jnp.where(is_med, 0.0, uu)
         vv = jnp.where(is_med, 0.0, vv)
 
     return HitRecord(
-        hit=hit, t=t, point=point, normal=normal_w, front=front,
+        hit=hit, t=t, point=point, normal=normal, front=front,
         u=uu, v=vv, mat=mat, prim=idx,
     )

@@ -4,10 +4,12 @@ Replaces the reference's light BVH hooks (``htblRandom``/``htblPdfValue``,
 src/Lib.hs:662-724).  The reference picks a BVH child weighted by leaf count
 (every leaf has count 1) and evaluates the density as the count-weighted mean
 of per-leaf densities - equivalent to a uniform pick over a flat light list
-and a plain mean, which is what we do.
+and a plain mean, which is what we do.  Rect lights are stored as world-space
+parallelograms (quads), so any orientation - and any rigid instancing - is
+supported.
 
 Deliberate fixes over the reference (documented deviations):
-* rect lights of all three orientations sample and evaluate correctly; the
+* quad lights of all orientations sample and evaluate correctly; the
   reference only implements the XZ case and silently returns direction
   (1,0,0) / density 0 for the others (src/Lib.hs:684-688, 708-712, 724).
 * ``cosThetaMax`` is clamped at 0 so sampling toward a sphere from inside it
@@ -19,48 +21,49 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng, vec
-from ..models.scene_data import LIGHT_RECT, LIGHT_SPHERE, SceneData
+from ..models.scene_data import LIGHT_QUAD, SceneData
 
 TWO_PI = 2.0 * jnp.pi
 
 
-def sample_lights(scene: SceneData, key, origin):
-    """Draw a direction toward a uniformly chosen light.
+def sample_lights_from(scene: SceneData, u5: jnp.ndarray, origin):
+    """Draw a direction toward a uniformly chosen light from 5 uniforms
+    (pick, quad u/v, cone u/v) per lane.
 
     ``origin``: (R, 3) shading points.  Returns (R, 3) *unnormalized*
     directions, matching ``htblRandom`` (src/Lib.hs:707-724).
     """
     L = scene.n_lights
     lights = scene.lights
-    k_pick, k_rect, k_cone = jax.random.split(key, 3)
-    R = origin.shape[0]
-    pick = jax.random.randint(k_pick, (R,), 0, L)
+    pick = jnp.minimum((u5[:, 0] * L).astype(jnp.int32), L - 1)
 
-    # rect: uniform point on the rectangle (src/Lib.hs:708-712)
-    b = lights.rect_bounds[pick]  # (R, 5)
-    uv = jax.random.uniform(k_rect, (R, 2))
-    i = b[:, 0] + uv[:, 0] * (b[:, 1] - b[:, 0])
-    j = b[:, 2] + uv[:, 1] * (b[:, 3] - b[:, 2])
-    p_rect = (
-        i[:, None] * lights.rect_i[pick]
-        + j[:, None] * lights.rect_j[pick]
-        + b[:, 4:5] * lights.rect_k[pick]
+    # quad: uniform point on the parallelogram (src/Lib.hs:708-712)
+    p_quad = (
+        lights.quad_p0[pick]
+        + u5[:, 1:2] * lights.quad_e1[pick]
+        + u5[:, 2:3] * lights.quad_e2[pick]
     )
-    dir_rect = p_rect - origin
+    dir_quad = p_quad - origin
 
     # sphere: solid-angle cone sample via an ONB (src/Lib.hs:713-718)
     dc = lights.center[pick] - origin
     d2 = vec.squared_length(dc)
-    local = rng.to_sphere(k_cone, lights.radius[pick], jnp.maximum(d2, 1e-12), (R,))
+    local = rng.to_sphere_from(u5[:, 3:5], lights.radius[pick], jnp.maximum(d2, 1e-12))
     dir_sph = vec.onb_local(vec.onb_from_w(dc), local)
 
-    return vec.where3(lights.kind[pick] == LIGHT_RECT, dir_rect, dir_sph)
+    return vec.where3(lights.kind[pick] == LIGHT_QUAD, dir_quad, dir_sph)
+
+
+def sample_lights(scene: SceneData, key, origin):
+    """Key-based wrapper over :func:`sample_lights_from`."""
+    u5 = jax.random.uniform(key, (origin.shape[0], 5))
+    return sample_lights_from(scene, u5, origin)
 
 
 def lights_pdf(scene: SceneData, origin, direction):
     """Mean density of the light-sampling strategy for a *unit* direction.
 
-    Mirrors ``htblPdfValue`` (src/Lib.hs:673-705): rects contribute
+    Mirrors ``htblPdfValue`` (src/Lib.hs:673-705): quads contribute
     dist^2 / (|cos| * area) when the probe ray hits them, spheres contribute
     1/solid_angle when hit, others 0; the mixture weight is uniform.
     """
@@ -70,21 +73,18 @@ def lights_pdf(scene: SceneData, origin, direction):
     o = origin[:, None, :]      # (R, 1, 3)
     d = direction[:, None, :]
 
-    # rect probe (cf. rectHit, src/Lib.hs:1014-1028)
-    b = lights.rect_bounds[None]           # (1, L, 5)
-    o_k = vec.dot(o, lights.rect_k[None])
-    d_k = vec.dot(d, lights.rect_k[None])
-    t = (b[..., 4] - o_k) / d_k
-    i = vec.dot(o, lights.rect_i[None]) + t * vec.dot(d, lights.rect_i[None])
-    j = vec.dot(o, lights.rect_j[None]) + t * vec.dot(d, lights.rect_j[None])
-    hit_rect = (
-        (t > eps)
-        & (i >= b[..., 0]) & (i <= b[..., 1])
-        & (j >= b[..., 2]) & (j <= b[..., 3])
-    )
-    area = (b[..., 1] - b[..., 0]) * (b[..., 3] - b[..., 2])
-    pdf_rect = jnp.where(
-        hit_rect, t * t / jnp.maximum(jnp.abs(d_k) * area, 1e-12), 0.0
+    # quad probe (cf. the parallelogram solve in ops/intersect.py)
+    n = lights.quad_n[None]     # (1, L, 3)
+    dn = vec.dot(d, n)
+    t = (lights.quad_d[None] - vec.dot(o, n)) / dn
+    x = o + t[..., None] * d - lights.quad_p0[None]
+    uq = vec.dot(x, lights.quad_inv1[None])
+    vq = vec.dot(x, lights.quad_inv2[None])
+    hit_quad = (t > eps) & (uq >= 0.0) & (uq <= 1.0) & (vq >= 0.0) & (vq <= 1.0)
+    pdf_quad = jnp.where(
+        hit_quad,
+        t * t / jnp.maximum(jnp.abs(dn) * lights.quad_area[None], 1e-12),
+        0.0,
     )
 
     # sphere probe + solid angle (src/Lib.hs:689-693)
@@ -96,10 +96,13 @@ def lights_pdf(scene: SceneData, origin, direction):
     t1, t2 = -bq - sd, -bq + sd
     hit_sph = (disc > 0.0) & ((t1 > eps) | (t2 > eps))
     cos_theta_max = jnp.sqrt(
-        jnp.maximum(1.0 - lights.radius[None] ** 2 / jnp.maximum(vec.dot(oc, oc), 1e-12), 0.0)
+        jnp.maximum(
+            1.0 - lights.radius[None] ** 2 / jnp.maximum(vec.dot(oc, oc), 1e-12),
+            0.0,
+        )
     )
     solid_angle = TWO_PI * (1.0 - cos_theta_max)
     pdf_sph = jnp.where(hit_sph, 1.0 / jnp.maximum(solid_angle, 1e-12), 0.0)
 
-    pdf = jnp.where(lights.kind[None] == LIGHT_RECT, pdf_rect, pdf_sph)
+    pdf = jnp.where(lights.kind[None] == LIGHT_QUAD, pdf_quad, pdf_sph)
     return jnp.sum(pdf, axis=1) / L

@@ -36,7 +36,7 @@ from ..models.scene_data import (
     SceneData,
 )
 from .intersect import HitRecord
-from .lights import lights_pdf, sample_lights
+from .lights import lights_pdf, sample_lights_from
 from .textures import texture_value
 
 INV_PI = 1.0 / jnp.pi
@@ -57,7 +57,10 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
     n = rec.normal
     unit_d = vec.normalize(rd)
     R = rd.shape[0]
-    k_coin, k_light, k_cos, k_fuzz, k_refl, k_iso = jax.random.split(key, 6)
+    # one threefry block for all of this bounce's draws:
+    # 0 coin | 1 pick | 2:4 quad uv | 4:6 cone | 6:8 cosine | 8:10 fuzz
+    # | 10 reflect | 11:13 isotropic
+    u = jax.random.uniform(key, (R, 13))
 
     # --- emission: DiffuseLight, back-face only (src/Lib.hs:880-884) ---
     emitted = jnp.where(
@@ -65,12 +68,11 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
     )
 
     # --- Lambertian (src/Lib.hs:823-836) ---
-    cos_local = rng.cosine_direction(k_cos, (R,))
+    cos_local = rng.cosine_direction_from(u[:, 6:8])
     cos_dir = vec.onb_local(vec.onb_from_w(n), cos_local)
     if scene.n_lights > 0:
-        coin = rng.uniform(k_coin, (R,))
-        light_dir = sample_lights(scene, k_light, rec.point)
-        dir_lam = vec.normalize(vec.where3(coin < 0.5, light_dir, cos_dir))
+        light_dir = sample_lights_from(scene, u[:, 1:6], rec.point)
+        dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, light_dir, cos_dir))
         cos_pdf = jnp.maximum(vec.dot(dir_lam, n), 0.0) * INV_PI
         pdf_val = 0.5 * (lights_pdf(scene, rec.point, dir_lam) + cos_pdf)
         # scatteringPdf == the cosine density here (src/Lib.hs:874-878),
@@ -82,7 +84,7 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
 
     # --- Metal (src/Lib.hs:837-841): always scatters, specular ---
     reflected = vec.reflect(unit_d, n)
-    dir_metal = reflected + mats.fuzz[rec.mat][:, None] * rng.unit_vector(k_fuzz, (R,))
+    dir_metal = reflected + mats.fuzz[rec.mat][:, None] * rng.unit_vector_from(u[:, 8:10])
     w_metal = att
 
     # --- Dielectric (src/Lib.hs:842-859) ---
@@ -94,14 +96,14 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     refl_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
     must_reflect = ratio * sin_theta > 1.0
-    do_reflect = must_reflect | (rng.uniform(k_refl, (R,)) < refl_prob)
+    do_reflect = must_reflect | (u[:, 10] < refl_prob)
     dir_diel = vec.where3(
         do_reflect, vec.reflect(unit_d, n), vec.refract(unit_d, n, ratio)
     )
     w_diel = jnp.ones_like(att)
 
     # --- Isotropic (src/Lib.hs:861-865; corrected phase function) ---
-    dir_iso = rng.unit_vector(k_iso, (R,))
+    dir_iso = rng.unit_vector_from(u[:, 11:13])
     w_iso = att
 
     direction = vec.where3(mkind == MAT_LAMBERTIAN, dir_lam, dir_metal)

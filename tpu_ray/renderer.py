@@ -59,7 +59,7 @@ from functools import partial
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 9), donate_argnums=0)
 def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
-               sample0, max_depth):
+               sample0, max_depth, cam_salt=0, bvh=None):
     """One pool wave, accumulated into the film.
 
     Module-level jit with scene/camera as *arguments* and ``n_samples``
@@ -70,13 +70,14 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
     xs, ys = _pixel_grid(width, height, k_pool)
     rad, _ = trace_pool(
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
-        n_samples, sample0, max_depth,
+        n_samples, sample0, max_depth, cam_salt, bvh=bvh,
     )
     return accum + rad.reshape(k_pool, height, width, 3).sum(axis=0)
 
 
 def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
-                      k_pool: int, samples_per_slot: int, max_depth: int):
+                      k_pool: int, samples_per_slot: int, max_depth: int,
+                      cam_salt=0, bvh=None):
     """fn(key, sample0) -> (H, W, 3) radiance summed over
     k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
     xs, ys = _pixel_grid(width, height, k_pool)
@@ -84,7 +85,7 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
     def wave(key, sample0):
         accum, _ = trace_pool(
             scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
-            samples_per_slot, sample0, max_depth,
+            samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
         )
         return accum.reshape(k_pool, height, width, 3).sum(axis=0)
 
@@ -121,6 +122,7 @@ def render(
     rays_per_wave: int = 1 << 20,
     samples_per_wave: int = 64,
     mode: str = "pool",
+    bvh=False,
     mesh=None,
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -131,9 +133,15 @@ def render(
     ``rays_per_wave`` bounds the ray-pool size (W*H*k_pool lanes);
     ``samples_per_wave`` bounds how many samples each slot renders per wave
     (larger waves amortize the path-length tail; smaller waves give finer
-    progress/checkpoint/mesh granularity).
+    progress/checkpoint/mesh granularity).  ``bvh=True`` intersects via
+    stack-based BVH traversal instead of brute force.
     """
     base_key = jax.random.PRNGKey(seed)
+    bvh_arrays = None
+    if bvh:
+        from .ops.bvh import build_bvh
+
+        bvh_arrays = bvh if not isinstance(bvh, bool) else build_bvh(scene)
 
     if mode == "wave":
         k = pick_samples_per_wave(width, height, spp, rays_per_wave)
@@ -147,7 +155,8 @@ def render(
         s_wave = _largest_divisor_leq(s_total, samples_per_wave)
         n_waves = s_total // s_wave
         wave_fn = make_pool_wave_fn(
-            scene, camera, width, height, k_pool, s_wave, max_depth
+            scene, camera, width, height, k_pool, s_wave, max_depth,
+            cam_salt=jnp.uint32(seed), bvh=bvh_arrays,
         )
         wave_spp = k_pool * s_wave
 
@@ -170,7 +179,8 @@ def render(
 
         def step(acc, key, sample0):
             return _pool_step(acc, scene, camera, key, width, height, k_pool,
-                              s_wave_arr, sample0, max_depth)
+                              s_wave_arr, sample0, max_depth,
+                              jnp.uint32(seed), bvh_arrays)
 
     accum = jnp.zeros((height, width, 3), jnp.float32)
     start_wave = 0
