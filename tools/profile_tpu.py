@@ -17,13 +17,15 @@ import numpy as np
 
 
 def bench(fn, *args, reps=20, warmup=2):
+    # NOTE: on the axon remote backend, block_until_ready does not actually
+    # wait; force a device->host transfer to measure real completion.
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / reps
 
 

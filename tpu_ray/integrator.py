@@ -31,6 +31,9 @@ from .models.scene_data import SceneData
 from .ops.intersect import intersect_scene
 from .ops.scatter import scatter
 
+COMPACT_MIN = 1 << 14
+COMPACT_FRACTION = 8
+
 
 def _make_isect(scene, bvh):
     if bvh is None:
@@ -156,83 +159,126 @@ def trace_pool(
     cam_salt = jnp.asarray(cam_salt, jnp.uint32)
     inv_w, inv_h = inv_wh
 
-    def regen(state: _PoolState, just_died) -> _PoolState:
-        """Start the next sample on slots whose path just ended."""
-        want = just_died & (state.sample < n_samples)
-        # per-(slot, global sample) camera uniforms: jitter x/y, lens, time,
-        # from a cheap counter hash keyed by the global sample index (so the
-        # estimate is independent of wave scheduling)
-        seeds = (sample0 + state.sample.astype(jnp.uint32)) * jnp.uint32(R) + slot_ids
-        u5 = rng_mod.hash_uniforms(seeds ^ cam_salt, 5)
-        ro, rd, rt = camera.rays_from_uniforms(
-            s + u5[:, 0] * inv_w, t + u5[:, 1] * inv_h, u5[:, 2:5]
-        )
-        return state._replace(
-            origin=vec.where3(want, ro, state.origin),
-            direction=vec.where3(want, rd, state.direction),
-            time=jnp.where(want, rt, state.time),
-            throughput=vec.where3(want, jnp.ones_like(state.throughput), state.throughput),
-            bounce=jnp.where(want, 0, state.bounce),
-            sample=jnp.where(want, state.sample + 1, state.sample),
-            active=(state.active & ~just_died) | want,
+    def make_loop(s_loc, t_loc, slot_ids_loc):
+        """Body/regen over a (possibly compacted) slot subset."""
+
+        def regen(state: _PoolState, just_died) -> _PoolState:
+            want = just_died & (state.sample < n_samples)
+            # per-(slot, global sample) camera uniforms: jitter x/y, lens,
+            # time, from a cheap counter hash keyed by the global sample
+            # index (so the estimate is independent of wave scheduling)
+            seeds = (
+                (sample0 + state.sample.astype(jnp.uint32)) * jnp.uint32(R)
+                + slot_ids_loc
+            )
+            u5 = rng_mod.hash_uniforms(seeds ^ cam_salt, 5)
+            ro, rd, rt = camera.rays_from_uniforms(
+                s_loc + u5[:, 0] * inv_w, t_loc + u5[:, 1] * inv_h, u5[:, 2:5]
+            )
+            return state._replace(
+                origin=vec.where3(want, ro, state.origin),
+                direction=vec.where3(want, rd, state.direction),
+                time=jnp.where(want, rt, state.time),
+                throughput=vec.where3(
+                    want, jnp.ones_like(state.throughput), state.throughput
+                ),
+                bounce=jnp.where(want, 0, state.bounce),
+                sample=jnp.where(want, state.sample + 1, state.sample),
+                active=(state.active & ~just_died) | want,
+            )
+
+        def body(st: _PoolState) -> _PoolState:
+            kb = jax.random.fold_in(k_loop, st.iteration)
+            rec = isect(st.origin, st.direction, st.time, jax.random.fold_in(kb, 0))
+            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec)
+
+            miss = st.active & ~rec.hit
+            emit = st.active & rec.hit & ~sc.scattered
+            cont = st.active & rec.hit & sc.scattered
+
+            accum = st.accum + vec.where3(
+                miss, st.throughput * scene.background, jnp.zeros_like(st.accum)
+            )
+            accum = accum + vec.where3(
+                emit, st.throughput * sc.emitted, jnp.zeros_like(accum)
+            )
+            throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
+            bounce = jnp.where(cont, st.bounce + 1, st.bounce)
+            # a path also dies on depth exhaustion (contributes nothing,
+            # src/Lib.hs:1303-1304) or zero throughput
+            dead_now = st.active & (
+                miss | emit
+                | (cont & (bounce >= max_depth))
+                | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
+            )
+            st2 = _PoolState(
+                iteration=st.iteration + 1,
+                origin=vec.where3(cont, rec.point, st.origin),
+                direction=vec.where3(cont, sc.direction, st.direction),
+                time=st.time,
+                throughput=throughput,
+                bounce=bounce,
+                sample=st.sample,
+                active=st.active,
+                accum=accum,
+            )
+            return regen(st2, dead_now)
+
+        return regen, body
+
+    def init_state(count):
+        return _PoolState(
+            iteration=jnp.int32(0),
+            origin=jnp.zeros((count, 3), jnp.float32),
+            direction=jnp.zeros((count, 3), jnp.float32),
+            time=jnp.zeros((count,), jnp.float32),
+            throughput=jnp.ones((count, 3), jnp.float32),
+            bounce=jnp.zeros((count,), jnp.int32),
+            sample=jnp.zeros((count,), jnp.int32),
+            active=jnp.zeros((count,), bool),
+            accum=jnp.zeros((count, 3), jnp.float32),
         )
 
-    state = _PoolState(
-        iteration=jnp.int32(0),
-        origin=jnp.zeros((R, 3), jnp.float32),
-        direction=jnp.zeros((R, 3), jnp.float32),
-        time=jnp.zeros((R,), jnp.float32),
-        throughput=jnp.ones((R, 3), jnp.float32),
-        bounce=jnp.zeros((R,), jnp.int32),
-        sample=jnp.zeros((R,), jnp.int32),
-        active=jnp.zeros((R,), bool),
-        accum=jnp.zeros((R, 3), jnp.float32),
-    )
-    # launch the first sample on every slot
-    state = regen(state, jnp.ones((R,), bool))
+    iter_cap = n_samples * max_depth + max_depth
+    regen, body = make_loop(s, t, slot_ids)
+    state = regen(init_state(R), jnp.ones((R,), bool))
+
+    # straggler compaction: once active occupancy falls below 1/8 (slots
+    # exhausted their samples while a few deep paths remain), gather the
+    # survivors into an R/8 pool and finish there - the long-path tail then
+    # costs 1/8 per iteration instead of dragging the whole wave along.
+    r_small = R // COMPACT_FRACTION
+    if R >= COMPACT_MIN and r_small > 0:
+        def cond_main(st: _PoolState):
+            return (jnp.sum(st.active) > r_small) & (st.iteration < iter_cap)
+
+        st = jax.lax.while_loop(cond_main, body, state)
+
+        order = jnp.argsort(~st.active, stable=True)[:r_small]
+        take = lambda a: a[order]
+        tail = _PoolState(
+            iteration=st.iteration,
+            origin=take(st.origin),
+            direction=take(st.direction),
+            time=take(st.time),
+            throughput=take(st.throughput),
+            bounce=take(st.bounce),
+            sample=take(st.sample),
+            active=take(st.active),
+            accum=jnp.zeros((r_small, 3), jnp.float32),
+        )
+        _, body_t = make_loop(take(s), take(t), take(slot_ids))
+
+        def cond_tail(stt: _PoolState):
+            return jnp.any(stt.active) & (stt.iteration < iter_cap)
+
+        tail = jax.lax.while_loop(cond_tail, body_t, tail)
+        accum = st.accum.at[order].add(tail.accum)
+        sample = st.sample.at[order].set(tail.sample)
+        return accum, sample
 
     def cond(st: _PoolState):
-        # safety cap: every sample at full depth
-        return jnp.any(st.active) & (
-            st.iteration < n_samples * max_depth + max_depth
-        )
-
-    def body(st: _PoolState) -> _PoolState:
-        kb = jax.random.fold_in(k_loop, st.iteration)
-        rec = isect(st.origin, st.direction, st.time, jax.random.fold_in(kb, 0))
-        sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec)
-
-        miss = st.active & ~rec.hit
-        emit = st.active & rec.hit & ~sc.scattered
-        cont = st.active & rec.hit & sc.scattered
-
-        accum = st.accum + vec.where3(
-            miss, st.throughput * scene.background, jnp.zeros_like(st.accum)
-        )
-        accum = accum + vec.where3(
-            emit, st.throughput * sc.emitted, jnp.zeros_like(accum)
-        )
-        throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
-        bounce = jnp.where(cont, st.bounce + 1, st.bounce)
-        # a path also dies on depth exhaustion (contributes nothing,
-        # src/Lib.hs:1303-1304) or zero throughput
-        dead_now = st.active & (
-            miss | emit
-            | (cont & (bounce >= max_depth))
-            | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
-        )
-        st2 = _PoolState(
-            iteration=st.iteration + 1,
-            origin=vec.where3(cont, rec.point, st.origin),
-            direction=vec.where3(cont, sc.direction, st.direction),
-            time=st.time,
-            throughput=throughput,
-            bounce=bounce,
-            sample=st.sample,
-            active=st.active,
-            accum=accum,
-        )
-        return regen(st2, dead_now)
+        return jnp.any(st.active) & (st.iteration < iter_cap)
 
     final = jax.lax.while_loop(cond, body, state)
     return final.accum, final.sample

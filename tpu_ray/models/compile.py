@@ -458,12 +458,54 @@ def build_scene(
     )
 
     tex_kinds = set(int(k) for k in tk)
+
+    # --- packed payloads (one wide gather instead of many scalar ones) ---
+    # prim payload: 0 kind | 1 mat | 2:5 center | 5:8 velocity | 8 time0
+    # | 9 radius | 10:13 quad_p0 | 13:16 quad_inv1 | 16:19 quad_inv2
+    # | 19:22 quad_n
+    prim_payload = np.concatenate([
+        kind[:, None].astype(np.float32),
+        mat[:, None].astype(np.float32),
+        center, velocity, time0[:, None], radius[:, None],
+        quad_p0, quad_inv1, quad_inv2, quad_n,
+    ], axis=1).astype(np.float32)
+
+    # material payload: 0 mkind | 1 fuzz | 2 ref_idx | 3 tex_kind
+    # | 4:7 color | 7:10 odd color | 10:13 even color | 13 perlin scale
+    # | 14 perlin_id | 15 image_id
+    tk_a = np.array(tk, np.int32)
+    tc_a = np.array(tc, np.float32)
+    to_a = np.array(to, np.int32)
+    te_a = np.array(te, np.int32)
+    ts_a = np.array(ts, np.float32)
+    tp_a = np.array(tp, np.int32)
+    ti_a = np.array(ti, np.int32)
+    mt_a = np.array(mt, np.int32)
+    checker_fancy = bool(np.any(
+        (tk_a == TEX_CHECKER)
+        & ((tk_a[to_a] != TEX_CONSTANT) | (tk_a[te_a] != TEX_CONSTANT))
+    ))
+    mat_payload = np.concatenate([
+        np.array(mk, np.float32)[:, None],
+        np.array(mf, np.float32)[:, None],
+        np.array(mr, np.float32)[:, None],
+        tk_a[mt_a][:, None].astype(np.float32),
+        tc_a[mt_a],
+        tc_a[to_a[mt_a]],
+        tc_a[te_a[mt_a]],
+        ts_a[mt_a][:, None],
+        tp_a[mt_a][:, None].astype(np.float32),
+        ti_a[mt_a][:, None].astype(np.float32),
+    ], axis=1).astype(np.float32)
+
     return SceneData(
         prims=prim_arrays,
         mats=mats,
         texs=texs,
         lights=light_arrays,
         background=jnp.asarray(np.array(background, np.float32)),
+        prim_payload=jnp.asarray(prim_payload),
+        mat_payload=jnp.asarray(mat_payload),
         n_prims=n,
         n_lights=n_lights,
         has_media=n_media > 0,
@@ -474,6 +516,7 @@ def build_scene(
         has_spheres=bool(np.any((kind == PRIM_SPHERE) | (kind == PRIM_MEDIUM_SPHERE))),
         any_transform=bool(np.any(live_transform)),
         has_checker=TEX_CHECKER in tex_kinds,
+        checker_fancy=checker_fancy,
         has_perlin=TEX_PERLIN in tex_kinds,
         has_image=TEX_IMAGE in tex_kinds,
         t_min=float(t_min),

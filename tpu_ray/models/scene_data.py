@@ -144,6 +144,12 @@ class SceneData:
     texs: TextureArrays
     lights: LightArrays
     background: jnp.ndarray  # (3,)
+    # packed per-row payloads: TPU gathers pay per *op*, not per byte, so
+    # the hit-record / shading lookups fetch one wide row instead of ~18
+    # scalar gathers.  Layouts in models/compile.py (PRIM_PAYLOAD_*,
+    # MAT_PAYLOAD_*).
+    prim_payload: jnp.ndarray = None   # (N, 22) float32
+    mat_payload: jnp.ndarray = None    # (M, 16) float32
 
     # --- static (compile-time) metadata ---
     n_prims: int = struct.field(pytree_node=False, default=0)
@@ -157,6 +163,9 @@ class SceneData:
     # any medium box carries a non-identity rigid transform
     any_transform: bool = struct.field(pytree_node=False, default=False)
     has_checker: bool = struct.field(pytree_node=False, default=False)
+    # a checker texture whose children are not constant colors needs the
+    # slow texture path
+    checker_fancy: bool = struct.field(pytree_node=False, default=False)
     has_perlin: bool = struct.field(pytree_node=False, default=False)
     has_image: bool = struct.field(pytree_node=False, default=False)
     # default minimum hit distance; the reference uses 1e-4 in double

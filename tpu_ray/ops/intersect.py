@@ -189,19 +189,23 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF) -> HitRecord:
 
 
 def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
-    """Reconstruct the full hit record for each ray's winning primitive."""
-    prims = scene.prims
+    """Reconstruct the full hit record for each ray's winning primitive.
+
+    One wide payload-row gather per ray (TPU gathers cost per op, not per
+    byte); layout in models/compile.py.
+    """
+    pay = scene.prim_payload[idx]  # (R, 22)
     hit = jnp.isfinite(t)
     ts = jnp.where(hit, t, 1.0)  # keep dead lanes finite
-    kind = prims.kind[idx]
-    mat = prims.mat[idx]
+    kind = pay[:, 0].astype(jnp.int32)
+    mat = pay[:, 1].astype(jnp.int32)
     point = ro + ts[:, None] * rd
 
     # sphere normal + spherical UV (src/Lib.hs:1096-1105)
-    ct = prims.center[idx]
+    ct = pay[:, 2:5]
     if scene.has_moving:
-        ct = ct + prims.velocity[idx] * (rt - prims.time0[idx])[:, None]
-    n_sph = (point - ct) / jnp.maximum(prims.radius[idx], 1e-12)[:, None]
+        ct = ct + pay[:, 5:8] * (rt - pay[:, 8])[:, None]
+    n_sph = (point - ct) / jnp.maximum(pay[:, 9], 1e-12)[:, None]
     phi = jnp.arctan2(n_sph[..., 2], n_sph[..., 0])
     theta = jnp.arcsin(jnp.clip(n_sph[..., 1], -1.0, 1.0))
     u_sph = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
@@ -210,11 +214,11 @@ def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
     normal, uu, vv = n_sph, u_sph, v_sph
     if scene.has_quads:
         # quad normal + parallelogram UV (src/Lib.hs:1014-1026)
-        x = point - prims.quad_p0[idx]
-        u_q = vec.dot(x, prims.quad_inv1[idx])
-        v_q = vec.dot(x, prims.quad_inv2[idx])
+        x = point - pay[:, 10:13]
+        u_q = vec.dot(x, pay[:, 13:16])
+        v_q = vec.dot(x, pay[:, 16:19])
         is_quad = kind == PRIM_QUAD
-        normal = vec.where3(is_quad, prims.quad_n[idx], normal)
+        normal = vec.where3(is_quad, pay[:, 19:22], normal)
         uu = jnp.where(is_quad, u_q, uu)
         vv = jnp.where(is_quad, v_q, vv)
 

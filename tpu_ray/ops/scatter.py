@@ -37,7 +37,7 @@ from ..models.scene_data import (
 )
 from .intersect import HitRecord
 from .lights import lights_pdf, sample_lights_from
-from .textures import texture_value
+from .textures import texture_value, texture_value_packed
 
 INV_PI = 1.0 / jnp.pi
 
@@ -51,9 +51,15 @@ class ScatterResult:
 
 
 def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
-    mats = scene.mats
-    mkind = mats.kind[rec.mat]
-    att = texture_value(scene, mats.tex[rec.mat], rec.u, rec.v, rec.point)
+    # one packed payload gather per lane; layout in models/compile.py
+    mp = scene.mat_payload[rec.mat]  # (R, 16)
+    mkind = mp[:, 0].astype(jnp.int32)
+    fuzz = mp[:, 1]
+    ref_idx = mp[:, 2]
+    if scene.checker_fancy:
+        att = texture_value(scene, scene.mats.tex[rec.mat], rec.u, rec.v, rec.point)
+    else:
+        att = texture_value_packed(scene, mp, rec.u, rec.v, rec.point)
     n = rec.normal
     unit_d = vec.normalize(rd)
     R = rd.shape[0]
@@ -84,11 +90,10 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
 
     # --- Metal (src/Lib.hs:837-841): always scatters, specular ---
     reflected = vec.reflect(unit_d, n)
-    dir_metal = reflected + mats.fuzz[rec.mat][:, None] * rng.unit_vector_from(u[:, 8:10])
+    dir_metal = reflected + fuzz[:, None] * rng.unit_vector_from(u[:, 8:10])
     w_metal = att
 
     # --- Dielectric (src/Lib.hs:842-859) ---
-    ref_idx = mats.ref_idx[rec.mat]
     ratio = jnp.where(rec.front, 1.0 / ref_idx, ref_idx)
     cos_theta = jnp.minimum(vec.dot(-unit_d, n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))

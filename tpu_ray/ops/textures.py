@@ -58,12 +58,15 @@ def _perlin_noise(scene: SceneData, pid, q):
 
 
 def _marble(scene: SceneData, tex_id, p):
+    texs = scene.texs
+    return marble_from(scene, texs.perlin_id[tex_id], texs.scale[tex_id], p)
+
+
+def marble_from(scene: SceneData, pid, sc, p):
     """Turbulence-phase marble (reference ``turb``/``marbleTexture``,
     src/Lib.hs:486-494, 512-513): 0.5 * (1 + sin(z + 10 * |sum w_n noise(2^n p)|)),
     7 octaves, noise scaled per texture."""
-    texs = scene.texs
-    pid = texs.perlin_id[tex_id]
-    sc = texs.scale[tex_id][..., None]
+    sc = sc[..., None]
     acc = jnp.zeros(p.shape[:-1], p.dtype)
     pp = p
     weight = 1.0
@@ -76,10 +79,12 @@ def _marble(scene: SceneData, tex_id, p):
 
 
 def _image_value(scene: SceneData, tex_id, u, v):
+    return image_value_from(scene, scene.texs.image_id[tex_id], u, v)
+
+
+def image_value_from(scene: SceneData, iid, u, v):
     """Image lookup with the reference's clamping and v-flip (src/Lib.hs:504-509)."""
-    texs = scene.texs
-    iid = texs.image_id[tex_id]
-    size = texs.img_size[iid].astype(jnp.float32)  # (R, 2) = (w, h)
+    size = scene.texs.img_size[iid].astype(jnp.float32)  # (R, 2) = (w, h)
     nx, ny = size[..., 0], size[..., 1]
     i = jnp.floor(jnp.clip(u * nx, 0.0, nx - _EPS)).astype(jnp.int32)
     j = jnp.floor(jnp.clip((1.0 - v) * ny - _EPS, 0.0, ny - _EPS)).astype(jnp.int32)
@@ -114,4 +119,35 @@ def texture_value(scene: SceneData, tex_id, u, v, p):
         even = _base_value(scene, scene.texs.even[tex_id], u, v, p)
         checker = vec.where3(sines < 0.0, odd, even)
         value = vec.where3(scene.texs.kind[tex_id] == TEX_CHECKER, checker, value)
+    return value
+
+
+def texture_value_packed(scene: SceneData, mp, u, v, p):
+    """``textureValue`` from packed material-payload rows (R, 16).
+
+    One gather already happened (the payload fetch); only Perlin octaves and
+    image lookups still touch tables.  Falls back to the id-based path when a
+    checker has non-constant children (scene.checker_fancy).
+    """
+    tex_kind = mp[:, 3].astype(jnp.int32)
+    value = mp[:, 4:7]
+    if scene.has_checker:
+        sines = (
+            jnp.sin(10.0 * p[..., 0])
+            * jnp.sin(10.0 * p[..., 1])
+            * jnp.sin(10.0 * p[..., 2])
+        )
+        checker = vec.where3(sines < 0.0, mp[:, 7:10], mp[:, 10:13])
+        value = vec.where3(tex_kind == TEX_CHECKER, checker, value)
+    if scene.has_perlin:
+        m = marble_from(scene, mp[:, 14].astype(jnp.int32), mp[:, 13], p)
+        value = vec.where3(
+            tex_kind == TEX_PERLIN, m[..., None] * jnp.ones_like(value), value
+        )
+    if scene.has_image:
+        value = vec.where3(
+            tex_kind == TEX_IMAGE,
+            image_value_from(scene, mp[:, 15].astype(jnp.int32), u, v),
+            value,
+        )
     return value
