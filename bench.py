@@ -49,13 +49,14 @@ def run(config: str, rays_per_wave: int, out: str | None) -> dict:
         max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
     )
     # warmup: compile with the exact wave shapes of the timed run (one wave)
-    from tpu_ray.renderer import _largest_divisor_leq, pick_samples_per_wave
+    from tpu_ray.renderer import pick_samples_per_wave
 
     k_pool = pick_samples_per_wave(cfg["width"], cfg["height"], cfg["spp"], rays_per_wave)
-    s_wave = _largest_divisor_leq(cfg["spp"] // k_pool, 64)
     t0 = time.perf_counter()
-    render(scene, camera, cfg["width"], cfg["height"], spp=k_pool * s_wave, **kwargs)
-    print(f"[bench] warmup ({k_pool * s_wave} spp, incl. compile): "
+    # one sample per slot: the per-wave sample count is traced, so this
+    # compiles the exact executable the timed run reuses
+    render(scene, camera, cfg["width"], cfg["height"], spp=k_pool, **kwargs)
+    print(f"[bench] warmup ({k_pool} spp, incl. compile): "
           f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     t0 = time.perf_counter()

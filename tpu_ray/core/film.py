@@ -29,13 +29,23 @@ def to_rgb8(img) -> np.ndarray:
 
 
 def ppm_string(rgb8: np.ndarray) -> str:
-    """P3 PPM text for a (H, W, 3) uint8 image (reference: app/Main.hs:59-62)."""
+    """P3 PPM text for a (H, W, 3) uint8 image (reference: app/Main.hs:59-62).
+
+    Uses the native C++ encoder when available (tpu_ray.native); Python
+    fallback otherwise.
+    """
     h, w, _ = rgb8.shape
-    lines = [f"P3\n{w} {h}\n255"]
+    header = f"P3\n{w} {h}\n255\n"
+    try:
+        from ..native import ppm_body
+
+        body = ppm_body(rgb8)
+        if body is not None:
+            return header + body
+    except Exception:
+        pass
     flat = rgb8.reshape(h, w * 3)
-    for row in flat:
-        lines.append(" ".join(map(str, row)))
-    return "\n".join(lines) + "\n"
+    return header + "\n".join(" ".join(map(str, row)) for row in flat) + "\n"
 
 
 def write_ppm(rgb8: np.ndarray, fp=None) -> None:

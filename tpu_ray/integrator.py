@@ -35,9 +35,11 @@ COMPACT_MIN = 1 << 14
 COMPACT_FRACTION = 8
 
 
-def _make_isect(scene, bvh):
+def _make_isect(scene, bvh, engine="xla"):
     if bvh is None:
-        return lambda ro, rd, rt, key: intersect_scene(scene, ro, rd, rt, key)
+        return lambda ro, rd, rt, key: intersect_scene(
+            scene, ro, rd, rt, key, engine=engine
+        )
     from .ops.bvh import intersect_scene_bvh
 
     return lambda ro, rd, rt, key: intersect_scene_bvh(scene, bvh, ro, rd, rt, key)
@@ -52,7 +54,8 @@ class _PathState(NamedTuple):
     alive: jnp.ndarray       # (R,) bool
 
 
-def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None):
+def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
+          engine: str = "xla"):
     """Trace a wavefront to completion; returns per-ray radiance (R, 3).
 
     ``rt`` is the per-ray shutter time, constant along each path (the
@@ -60,7 +63,7 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None):
     :class:`~tpu_ray.ops.bvh.BVHArrays` as ``bvh`` to use traversal instead
     of the brute-force intersector.
     """
-    isect = _make_isect(scene, bvh)
+    isect = _make_isect(scene, bvh, engine)
     R = ro.shape[0]
     state = _PathState(
         bounce=jnp.int32(0),
@@ -128,6 +131,7 @@ def trace_pool(
     max_depth: int,
     cam_salt=jnp.uint32(0),    # render-level salt for the camera stream
     bvh=None,                  # optional BVHArrays for traversal
+    engine: str = "xla",       # "xla" | "pallas" solid-prim sweep
 ):
     """Ray-pool path tracing with immediate path regeneration.
 
@@ -153,7 +157,7 @@ def trace_pool(
             jnp.full((R,), 1, jnp.int32) * n_samples,
         )
     n_samples = jnp.asarray(n_samples, jnp.int32)
-    isect = _make_isect(scene, bvh)
+    isect = _make_isect(scene, bvh, engine)
     k_loop = key
     slot_ids = jnp.arange(R, dtype=jnp.uint32)
     cam_salt = jnp.asarray(cam_salt, jnp.uint32)

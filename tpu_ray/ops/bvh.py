@@ -92,10 +92,32 @@ def prim_aabbs(scene: SceneData, time0: float = 0.0, time1: float = 1.0) -> np.n
 
 
 def build_bvh(scene: SceneData, leaf_size: int = 4,
-              time0: float = 0.0, time1: float = 1.0) -> BVHArrays:
-    """Median-split BVH over primitive AABB centroids (host, numpy)."""
+              time0: float = 0.0, time1: float = 1.0,
+              use_native: bool = True) -> BVHArrays:
+    """Median-split BVH over primitive AABB centroids.
+
+    Uses the C++ builder (tpu_ray.native) when available; numpy otherwise.
+    Both produce the same node layout (split choice may differ on exact
+    centroid ties).
+    """
     boxes = prim_aabbs(scene, time0, time1)
     n = boxes.shape[0]
+    if use_native:
+        try:
+            from ..native import bvh_build_native
+
+            out = bvh_build_native(boxes.astype(np.float32), leaf_size)
+        except Exception:
+            out = None
+        if out is not None:
+            nmin, nmax, cl, cr, first, count, order = out
+            return BVHArrays(
+                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+                child_l=jnp.asarray(cl), child_r=jnp.asarray(cr),
+                first=jnp.asarray(first), count=jnp.asarray(count),
+                order=jnp.asarray(order), n_nodes=nmin.shape[0],
+                leaf_size=leaf_size,
+            )
     centroids = boxes.mean(axis=1)
 
     node_min, node_max = [], []

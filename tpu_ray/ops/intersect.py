@@ -160,11 +160,14 @@ def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
     return t
 
 
-def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF) -> HitRecord:
+def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
+                    engine: str = "xla") -> HitRecord:
     """Closest hit of each ray against the whole scene.
 
     ``ro``/``rd``: (R, 3); ``rt``: (R,) ray times; ``key`` feeds the medium
-    free-flight sampling (one uniform per ray x medium chunk).
+    free-flight sampling (one uniform per ray and medium).
+    ``engine="pallas"`` runs the solid-primitive sweep as a fused Pallas
+    kernel (media keep the XLA path and are min-combined).
     """
     n = scene.n_prims
     t_min = jnp.float32(scene.t_min)
@@ -176,7 +179,15 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF) -> HitRecord:
     u_med = (
         jax.random.uniform(key, (R, scene.n_media)) if scene.has_media else None
     )
-    for start in range(0, n, CHUNK):
+    if engine == "pallas" and scene.n_solid > 0:
+        from .intersect_pallas import intersect_solids_pallas
+
+        best_t, best_i = intersect_solids_pallas(scene, ro, rd, rt)
+        best_t = jnp.where(best_t < t_max, best_t, INF)
+        start0 = scene.n_solid  # media suffix via the XLA path
+    else:
+        start0 = 0
+    for start in range(start0, n, CHUNK):
         count = min(CHUNK, n - start)
         t = _chunk_t(scene, start, count, ro, rd, rt, u_med, t_min, t_max)
         ct = jnp.min(t, axis=1)

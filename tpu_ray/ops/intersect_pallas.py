@@ -1,0 +1,172 @@
+"""Fused Pallas TPU kernel for the solid-primitive intersect sweep.
+
+The brute-force intersector's inner product (every ray x every primitive) is
+the hot loop of the whole tracer.  The XLA version (ops/intersect.py) relies
+on fusion to keep the (R, C) candidate-t tiles out of HBM; this kernel makes
+that explicit: a grid over ray tiles keeps a (TILE_R,) running minimum in
+registers/VMEM while looping over primitive blocks that live entirely in
+VMEM, so HBM traffic is exactly "rays in, (t, prim) out".
+
+Covers spheres (static + moving) and quads - the solid prefix of the
+primitive table (models/compile.py orders media last).  Constant media need
+per-ray RNG and are intersected by the XLA path and min-combined in
+ops/intersect.intersect_scene(engine="pallas").
+
+All math in f32; shapes are (TILE_R, PBLK) = (256, 128) - aligned to the
+8x128 VPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene_data import PRIM_QUAD, PRIM_SPHERE, SceneData
+
+TILE_R = 256
+PBLK = 128
+BIG = 3.4e38  # sentinel (finite, so masked min/argmin stay sane)
+
+
+def _kernel(ro_ref, rd_ref, rt_ref,
+            kind_ref, cx_ref, cy_ref, cz_ref, vx_ref, vy_ref, vz_ref,
+            t0_ref, r2_ref,
+            qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
+            u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
+            out_t_ref, out_i_ref,
+            *, n_blocks: int, t_min: float, has_moving: bool, has_quads: bool):
+    rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]  # (T,1)
+    rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
+    a = rdx * rdx + rdy * rdy + rdz * rdz        # (T,1)
+    inv_a = 1.0 / a
+    rt = rt_ref[:, 0:1]
+
+    best_t = jnp.full((TILE_R, 1), BIG)
+    best_i = jnp.zeros((TILE_R, 1), jnp.int32)
+
+    for pb in range(n_blocks):
+        s = slice(pb * PBLK, (pb + 1) * PBLK)
+        kind = kind_ref[0, s][None, :]           # (1,P)
+        # --- spheres: quadratic (src/Lib.hs:1081-1108) ---
+        cx = cx_ref[0, s][None, :]
+        cy = cy_ref[0, s][None, :]
+        cz = cz_ref[0, s][None, :]
+        if has_moving:
+            dt = rt - t0_ref[0, s][None, :]      # (T,P)
+            cx = cx + vx_ref[0, s][None, :] * dt
+            cy = cy + vy_ref[0, s][None, :] * dt
+            cz = cz + vz_ref[0, s][None, :] * dt
+        ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2_ref[0, s][None, :]
+        disc = b * b - a * c
+        ok = disc > 0.0
+        sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sd) * inv_a
+        t2 = (-b + sd) * inv_a
+        t = jnp.where(ok & (t1 > t_min), t1,
+                      jnp.where(ok & (t2 > t_min), t2, BIG))
+        if has_quads:
+            # --- quads: world-space parallelogram (cf. ops/intersect.py) ---
+            nx = qnx_ref[0, s][None, :]
+            ny = qny_ref[0, s][None, :]
+            nz = qnz_ref[0, s][None, :]
+            dn = rdx * nx + rdy * ny + rdz * nz
+            tq = (qd_ref[0, s][None, :] - (rox * nx + roy * ny + roz * nz)) / dn
+            xx = rox + tq * rdx - qpx_ref[0, s][None, :]
+            xy = roy + tq * rdy - qpy_ref[0, s][None, :]
+            xz = roz + tq * rdz - qpz_ref[0, s][None, :]
+            uq = xx * u1x_ref[0, s][None, :] + xy * u1y_ref[0, s][None, :] \
+                + xz * u1z_ref[0, s][None, :]
+            vq = xx * u2x_ref[0, s][None, :] + xy * u2y_ref[0, s][None, :] \
+                + xz * u2z_ref[0, s][None, :]
+            okq = (tq > t_min) & (uq >= 0.0) & (uq <= 1.0) \
+                & (vq >= 0.0) & (vq <= 1.0)
+            t = jnp.where(kind == PRIM_QUAD, jnp.where(okq, tq, BIG), t)
+
+        bt = jnp.min(t, axis=1, keepdims=True)             # (T,1)
+        bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
+        closer = bt < best_t
+        best_t = jnp.where(closer, bt, best_t)
+        best_i = jnp.where(closer, bi, best_i)
+
+    out_t_ref[:, 0] = best_t[:, 0]
+    out_i_ref[:, 0] = best_i[:, 0]
+
+
+def _pack_solids(scene: SceneData):
+    """Solid prims padded to a PBLK multiple, split into flat (1, P) fields."""
+    p = scene.prims
+    n = scene.n_solid
+    pad = (-n) % PBLK or (PBLK if n == 0 else 0)
+    P = n + pad
+
+    def f1(a, fill=0.0):
+        return jnp.pad(a[:n], (0, pad), constant_values=fill)[None]
+
+    def f3(a, i):
+        return jnp.pad(a[:n, i], (0, pad))[None]
+
+    fields = (
+        f1(p.kind.astype(jnp.int32), PRIM_SPHERE),
+        f3(p.center, 0), f3(p.center, 1), f3(p.center, 2),
+        f3(p.velocity, 0), f3(p.velocity, 1), f3(p.velocity, 2),
+        f1(p.time0),
+        f1(p.radius ** 2, 0.0),   # padded rows: radius 0 never hits
+        f3(p.quad_p0, 0), f3(p.quad_p0, 1), f3(p.quad_p0, 2),
+        f3(p.quad_n, 0), f3(p.quad_n, 1), f3(p.quad_n, 2),
+        f1(p.quad_d),
+        f3(p.quad_inv1, 0), f3(p.quad_inv1, 1), f3(p.quad_inv1, 2),
+        f3(p.quad_inv2, 0), f3(p.quad_inv2, 1), f3(p.quad_inv2, 2),
+    )
+    return fields, P
+
+
+def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
+                            interpret: bool | None = None):
+    """(best_t, best_i) of each ray against the solid prims, via Pallas.
+
+    ``interpret`` defaults to True on CPU (tests) and False on TPU.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    R = ro.shape[0]
+    pad_r = (-R) % TILE_R
+    if pad_r:
+        ro = jnp.pad(ro, ((0, pad_r), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad_r), (0, 0)), constant_values=1.0)
+        rt = jnp.pad(rt, (0, pad_r))
+    Rp = R + pad_r
+
+    fields, P = _pack_solids(scene)
+    grid = (Rp // TILE_R,)
+    kern = partial(
+        _kernel,
+        n_blocks=P // PBLK,
+        t_min=float(scene.t_min),
+        has_moving=scene.has_moving,
+        has_quads=scene.has_quads,
+    )
+    ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
+    out_t, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields),
+        out_specs=(
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(ro, rd, rt[:, None], *fields)
+    best_t = jnp.where(out_t[:R, 0] >= BIG, jnp.inf, out_t[:R, 0])
+    return best_t, out_i[:R, 0]

@@ -57,9 +57,9 @@ def _pixel_grid(width: int, height: int, k: int):
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9), donate_argnums=0)
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11), donate_argnums=0)
 def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
-               sample0, max_depth, cam_salt=0, bvh=None):
+               sample0, max_depth, cam_salt=0, engine="xla", bvh=None):
     """One pool wave, accumulated into the film.
 
     Module-level jit with scene/camera as *arguments* and ``n_samples``
@@ -70,14 +70,14 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
     xs, ys = _pixel_grid(width, height, k_pool)
     rad, _ = trace_pool(
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
-        n_samples, sample0, max_depth, cam_salt, bvh=bvh,
+        n_samples, sample0, max_depth, cam_salt, bvh=bvh, engine=engine,
     )
     return accum + rad.reshape(k_pool, height, width, 3).sum(axis=0)
 
 
 def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
                       k_pool: int, samples_per_slot: int, max_depth: int,
-                      cam_salt=0, bvh=None):
+                      cam_salt=0, bvh=None, engine: str = "xla"):
     """fn(key, sample0) -> (H, W, 3) radiance summed over
     k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
     xs, ys = _pixel_grid(width, height, k_pool)
@@ -86,6 +86,7 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
         accum, _ = trace_pool(
             scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
             samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
+            engine=engine,
         )
         return accum.reshape(k_pool, height, width, 3).sum(axis=0)
 
@@ -123,6 +124,7 @@ def render(
     samples_per_wave: int = 64,
     mode: str = "pool",
     bvh=False,
+    engine: str = "xla",
     mesh=None,
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -150,13 +152,20 @@ def render(
         wave_fn = lambda key, sample0: wf(key)
         wave_spp = k
     else:
+        if engine == "xla":
+            # cap pool lanes so the intersect sweep's (R, CHUNK) temporaries
+            # fit HBM (XLA keeps ~10 of them live across the unrolled chunk
+            # loop on big scenes); the Pallas engine has no such temps
+            chunk = max(1, min(scene.n_prims, 512))
+            rays_per_wave = min(rays_per_wave,
+                                max(int(6e9 / (chunk * 4 * 10)), 1 << 16))
         k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
         s_total = spp // k_pool
         s_wave = _largest_divisor_leq(s_total, samples_per_wave)
         n_waves = s_total // s_wave
         wave_fn = make_pool_wave_fn(
             scene, camera, width, height, k_pool, s_wave, max_depth,
-            cam_salt=jnp.uint32(seed), bvh=bvh_arrays,
+            cam_salt=jnp.uint32(seed), bvh=bvh_arrays, engine=engine,
         )
         wave_spp = k_pool * s_wave
 
@@ -180,7 +189,7 @@ def render(
         def step(acc, key, sample0):
             return _pool_step(acc, scene, camera, key, width, height, k_pool,
                               s_wave_arr, sample0, max_depth,
-                              jnp.uint32(seed), bvh_arrays)
+                              jnp.uint32(seed), engine, bvh_arrays)
 
     accum = jnp.zeros((height, width, 3), jnp.float32)
     start_wave = 0
