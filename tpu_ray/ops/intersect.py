@@ -62,18 +62,19 @@ class HitRecord:
     prim: jnp.ndarray     # (R,) int32
 
 
-def _chunk_t(scene: SceneData, start: int, count: int, ro, rd, rt, u_med,
-             t_min, t_max):
-    """Hit distance of every ray against prims [start, start+count) -> (R, C)."""
-    sl = lambda a: jax.lax.slice_in_dim(a, start, start + count, axis=0)
-    prims = scene.prims
-    kind = sl(prims.kind)[None, :]            # (1, C)
+def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max):
+    """Hit distance of every ray against a chunk of prims -> (R, C).
+
+    ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
+    """
+    sl = lambda a: a
+    kind = prims.kind[None, :]                # (1, C)
     a = vec.dot(rd, rd)[:, None]              # (R, 1)
-    t = jnp.full((ro.shape[0], count), INF)
+    t = jnp.full((ro.shape[0], prims.kind.shape[0]), INF)
 
     # ---- spheres (+ medium-sphere boundaries): quadratic, src/Lib.hs:1081-1105
     if scene.has_spheres:
-        center = sl(prims.center)             # (C, 3)
+        center = prims.center                 # (C, 3)
         if scene.has_moving:
             # moving sphere lerps its center by ray time (src/Lib.hs:1106-1108)
             dt = rt[:, None] - sl(prims.time0)[None, :]
@@ -187,14 +188,45 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
         start0 = scene.n_solid  # media suffix via the XLA path
     else:
         start0 = 0
-    for start in range(start0, n, CHUNK):
-        count = min(CHUNK, n - start)
-        t = _chunk_t(scene, start, count, ro, rd, rt, u_med, t_min, t_max)
+
+    take = lambda a: jax.lax.slice_in_dim(a, start0, n, axis=0)
+    count = n - start0
+    if count > 0 and count <= CHUNK:
+        # single chunk: straight-line code
+        p = jax.tree.map(take, scene.prims)
+        t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max)
         ct = jnp.min(t, axis=1)
-        cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + start
+        cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + start0
         closer = ct < best_t
         best_t = jnp.where(closer, ct, best_t)
         best_i = jnp.where(closer, cidx, best_i)
+    elif count > CHUNK:
+        # many chunks: lax.scan over a (n_chunks, CHUNK, ...) stack so only
+        # one chunk's (R, C) temporaries are ever live (an unrolled loop let
+        # XLA keep ~10 of them and blew HBM on 3400-prim scenes)
+        pad = (-count) % CHUNK
+        def stack(a):
+            a = take(a)
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+            return a.reshape((-1, CHUNK) + a.shape[1:])
+        stacked = jax.tree.map(stack, scene.prims)
+        # padded rows are radius-0 spheres at the origin: never hit
+
+        def body(carry, p):
+            bt, bi, base = carry
+            t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max)
+            ct = jnp.min(t, axis=1)
+            cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + base
+            closer = ct < bt
+            return (
+                jnp.where(closer, ct, bt),
+                jnp.where(closer, cidx, bi),
+                base + CHUNK,
+            ), None
+
+        (best_t, best_i, _), _ = jax.lax.scan(
+            body, (best_t, best_i, jnp.int32(start0)), stacked
+        )
 
     return _hit_record(scene, ro, rd, rt, best_t, best_i)
 

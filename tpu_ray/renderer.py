@@ -158,7 +158,7 @@ def render(
             # loop on big scenes); the Pallas engine has no such temps
             chunk = max(1, min(scene.n_prims, 512))
             rays_per_wave = min(rays_per_wave,
-                                max(int(6e9 / (chunk * 4 * 10)), 1 << 16))
+                                max(int(3e9 / (chunk * 4 * 10)), 1 << 16))
         k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
         s_total = spp // k_pool
         s_wave = _largest_divisor_leq(s_total, samples_per_wave)

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time", action="store_true", help="print wall time to stderr")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "gpu"),
                    help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
+    p.add_argument("--engine", default="xla", choices=("xla", "pallas"),
+                   help="solid-primitive intersect engine")
+    p.add_argument("--bvh", action="store_true",
+                   help="intersect via BVH traversal instead of brute force")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     return p
 
 
@@ -77,13 +83,17 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(args.devices)
 
+    from .profiling import profile_trace
+
     t_start = time.perf_counter()
-    img = render(
-        scene, camera, args.width, args.height, args.spp,
-        max_depth=args.max_depth, seed=args.seed,
-        rays_per_wave=args.rays_per_wave, mesh=mesh, progress=True,
-        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-    )
+    with profile_trace(args.profile):
+        img = render(
+            scene, camera, args.width, args.height, args.spp,
+            max_depth=args.max_depth, seed=args.seed,
+            rays_per_wave=args.rays_per_wave, mesh=mesh, progress=True,
+            engine=args.engine, bvh=args.bvh,
+            checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        )
     elapsed = time.perf_counter() - t_start
     film.write_image(img, None if args.out == "-" else args.out)
     if args.time:
