@@ -48,10 +48,11 @@ def run(config: str, rays_per_wave: int, out: str | None) -> dict:
     kwargs = dict(
         max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
     )
-    # warmup: compile with the exact wave shapes of the timed run (one wave)
-    from tpu_ray.renderer import pick_samples_per_wave
+    # warmup: compile with the exact wave shapes of the timed run
+    from tpu_ray.renderer import plan_pool
 
-    k_pool = pick_samples_per_wave(cfg["width"], cfg["height"], cfg["spp"], rays_per_wave)
+    k_pool, _, _ = plan_pool(scene, cfg["width"], cfg["height"], cfg["spp"],
+                             rays_per_wave)
     t0 = time.perf_counter()
     # one sample per slot: the per-wave sample count is traced, so this
     # compiles the exact executable the timed run reuses

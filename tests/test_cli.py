@@ -1,0 +1,41 @@
+"""CLI surface: the reference's contract is PPM P3 on stdout with progress
+on stderr (app/Main.hs:59-63)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args, timeout=300):
+    env = dict(os.environ)
+    return subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout, env=env,
+    )
+
+
+def test_cli_ppm_stdout():
+    r = _run("--scene", "two-spheres", "--width", "12", "--height", "8",
+             "--spp", "2", "--max-depth", "3")
+    assert r.returncode == 0, r.stderr[-500:]
+    words = r.stdout.split()
+    assert words[0] == "P3" and words[1] == "12" and words[2] == "8" and words[3] == "255"
+    vals = np.array(words[4:], dtype=int)
+    assert vals.shape == (12 * 8 * 3,)
+    assert vals.min() >= 0 and vals.max() <= 255
+    assert "Done." in r.stderr
+
+
+def test_cli_list_scenes():
+    r = _run("--list-scenes")
+    assert r.returncode == 0
+    for name in ("cornell", "book1-final", "next-week-final"):
+        assert name in r.stdout
+
+
+def test_cli_rejects_bad_args():
+    assert _run("--scene", "nope").returncode == 2
+    assert _run("--spp", "0").returncode == 2

@@ -41,6 +41,30 @@ def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int)
     return _largest_divisor_leq(spp, max(1, rays_per_wave // max(width * height, 1)))
 
 
+def plan_pool(scene, width: int, height: int, spp: int,
+              rays_per_wave: int = 1 << 20, samples_per_wave: int = 64,
+              engine: str = "xla"):
+    """Pool-mode schedule: (k_pool slots/pixel, samples per slot per wave,
+    wave count).  Shared by render() and warmup callers (bench) so both
+    compile the same executable.
+
+    Two device-driven bounds: pool lanes are capped so one 512-prim chunk's
+    (R, C) f32 temporaries fit HBM (~6 live under the lax.scan sweep), and
+    per-wave sample counts are capped so a single wave stays under remote
+    runtime watchdogs (~60s of device time) on big scenes.
+    """
+    if engine == "xla":
+        chunk = max(1, min(scene.n_prims, 512))
+        rays_per_wave = min(rays_per_wave,
+                            max(int(12e9 / (chunk * 4 * 6)), 1 << 16))
+    k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
+    s_total = spp // k_pool
+    lanes = width * height * k_pool
+    s_budget = max(1, int(6e13 / (lanes * max(scene.n_prims, 1) * 8)))
+    s_wave = _largest_divisor_leq(s_total, min(samples_per_wave, s_budget))
+    return k_pool, s_wave, s_total // s_wave
+
+
 def _pixel_grid(width: int, height: int, k: int):
     """Flattened (k, H, W) pixel coordinate fractions: image row 0 is the
     top of the frame, i.e. y = height-1 (pixelPositions, src/Lib.hs:1488-1489)."""
@@ -152,17 +176,9 @@ def render(
         wave_fn = lambda key, sample0: wf(key)
         wave_spp = k
     else:
-        if engine == "xla":
-            # cap pool lanes so the intersect sweep's (R, CHUNK) temporaries
-            # fit HBM (XLA keeps ~10 of them live across the unrolled chunk
-            # loop on big scenes); the Pallas engine has no such temps
-            chunk = max(1, min(scene.n_prims, 512))
-            rays_per_wave = min(rays_per_wave,
-                                max(int(3e9 / (chunk * 4 * 10)), 1 << 16))
-        k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
-        s_total = spp // k_pool
-        s_wave = _largest_divisor_leq(s_total, samples_per_wave)
-        n_waves = s_total // s_wave
+        k_pool, s_wave, n_waves = plan_pool(
+            scene, width, height, spp, rays_per_wave, samples_per_wave, engine
+        )
         wave_fn = make_pool_wave_fn(
             scene, camera, width, height, k_pool, s_wave, max_depth,
             cam_salt=jnp.uint32(seed), bvh=bvh_arrays, engine=engine,
