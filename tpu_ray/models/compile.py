@@ -322,10 +322,10 @@ def build_scene(
     if not prims:
         raise ValueError("scene has no primitives")
 
-    # order: solid primitives (spheres, quads) first, media last, so the
-    # Pallas intersect kernel can cover the solid prefix while the (few)
-    # media rows keep the XLA path
-    prims.sort(key=lambda pr: pr.kind >= PRIM_MEDIUM_SPHERE)
+    # order: spheres, then quads, then media.  Homogeneous regions let the
+    # intersect sweep run only the math each chunk needs, and the Pallas
+    # kernel covers the contiguous solid prefix.
+    prims.sort(key=lambda pr: (pr.kind >= PRIM_MEDIUM_SPHERE, pr.kind))
     n = len(prims)
     kind = np.array([p.kind for p in prims], np.int32)
     mat = np.array([p.mat for p in prims], np.int32)
@@ -519,6 +519,7 @@ def build_scene(
         has_quads=bool(np.any(kind == PRIM_QUAD)),
         has_spheres=bool(np.any((kind == PRIM_SPHERE) | (kind == PRIM_MEDIUM_SPHERE))),
         n_solid=int(np.sum(~is_medium)),
+        n_sphere=int(np.sum(kind == PRIM_SPHERE)),
         any_transform=bool(np.any(live_transform)),
         has_checker=TEX_CHECKER in tex_kinds,
         checker_fancy=checker_fancy,

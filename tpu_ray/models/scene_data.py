@@ -156,8 +156,10 @@ class SceneData:
     n_lights: int = struct.field(pytree_node=False, default=0)
     has_media: bool = struct.field(pytree_node=False, default=False)
     n_media: int = struct.field(pytree_node=False, default=0)
-    # solid (non-media) prims occupy rows [0, n_solid); media rows follow
+    # row layout: spheres [0, n_sphere), quads [n_sphere, n_solid),
+    # media [n_solid, n_prims)
     n_solid: int = struct.field(pytree_node=False, default=0)
+    n_sphere: int = struct.field(pytree_node=False, default=0)
     has_box_media: bool = struct.field(pytree_node=False, default=False)
     has_moving: bool = struct.field(pytree_node=False, default=False)
     has_quads: bool = struct.field(pytree_node=False, default=False)

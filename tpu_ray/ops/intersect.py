@@ -62,18 +62,24 @@ class HitRecord:
     prim: jnp.ndarray     # (R,) int32
 
 
-def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max):
+def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
+             do_spheres=None, do_quads=None, do_media=None):
     """Hit distance of every ray against a chunk of prims -> (R, C).
 
     ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
+    The ``do_*`` flags restrict the math to the kinds a (homogeneous) chunk
+    actually contains; they default to the scene's feature flags.
     """
+    do_spheres = scene.has_spheres if do_spheres is None else do_spheres
+    do_quads = scene.has_quads if do_quads is None else do_quads
+    do_media = scene.has_media if do_media is None else do_media
     sl = lambda a: a
     kind = prims.kind[None, :]                # (1, C)
     a = vec.dot(rd, rd)[:, None]              # (R, 1)
     t = jnp.full((ro.shape[0], prims.kind.shape[0]), INF)
 
     # ---- spheres (+ medium-sphere boundaries): quadratic, src/Lib.hs:1081-1105
-    if scene.has_spheres:
+    if do_spheres or (do_media and scene.has_spheres):
         center = prims.center                 # (C, 3)
         if scene.has_moving:
             # moving sphere lerps its center by ray time (src/Lib.hs:1106-1108)
@@ -98,7 +104,7 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max):
 
     # ---- quads: world-space parallelogram solve (generalizes the rect
     # plane solve of src/Lib.hs:1005-1028 to any rigid instancing)
-    if scene.has_quads:
+    if do_quads:
         n = sl(prims.quad_n)                  # (C, 3)
         dn = vec.dot(rd[:, None, :], n[None])
         tq = (sl(prims.quad_d)[None] - vec.dot(ro[:, None, :], n[None])) / dn
@@ -112,7 +118,7 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max):
         t = jnp.where(kind == PRIM_QUAD, jnp.where(ok_q, tq, INF), t)
 
     # ---- constant media: exponential free flight, src/Lib.hs:1053-1080
-    if scene.has_media:
+    if do_media:
         # entry/exit of the boundary over (-inf, +inf)
         te = jnp.full_like(t, INF)
         tx = jnp.full_like(t, -INF)
@@ -189,32 +195,36 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
     else:
         start0 = 0
 
-    take = lambda a: jax.lax.slice_in_dim(a, start0, n, axis=0)
-    count = n - start0
-    if count > 0 and count <= CHUNK:
-        # single chunk: straight-line code
-        p = jax.tree.map(take, scene.prims)
-        t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max)
-        ct = jnp.min(t, axis=1)
-        cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + start0
-        closer = ct < best_t
-        best_t = jnp.where(closer, ct, best_t)
-        best_i = jnp.where(closer, cidx, best_i)
-    elif count > CHUNK:
+    def sweep(best, lo, hi, **do):
+        """Min-sweep prim rows [lo, hi) with kind-specialized chunk math."""
+        best_t, best_i = best
+        count = hi - lo
+        if count <= 0:
+            return best
+        take = lambda a: jax.lax.slice_in_dim(a, lo, hi, axis=0)
+        if count <= CHUNK:
+            p = jax.tree.map(take, scene.prims)
+            t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max, **do)
+            ct = jnp.min(t, axis=1)
+            cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + lo
+            closer = ct < best_t
+            return jnp.where(closer, ct, best_t), jnp.where(closer, cidx, best_i)
         # many chunks: lax.scan over a (n_chunks, CHUNK, ...) stack so only
         # one chunk's (R, C) temporaries are ever live (an unrolled loop let
         # XLA keep ~10 of them and blew HBM on 3400-prim scenes)
         pad = (-count) % CHUNK
+
         def stack(a):
             a = take(a)
             a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
             return a.reshape((-1, CHUNK) + a.shape[1:])
+
         stacked = jax.tree.map(stack, scene.prims)
         # padded rows are radius-0 spheres at the origin: never hit
 
         def body(carry, p):
             bt, bi, base = carry
-            t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max)
+            t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max, **do)
             ct = jnp.min(t, axis=1)
             cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + base
             closer = ct < bt
@@ -225,8 +235,21 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
             ), None
 
         (best_t, best_i, _), _ = jax.lax.scan(
-            body, (best_t, best_i, jnp.int32(start0)), stacked
+            body, (best_t, best_i, jnp.int32(lo)), stacked
         )
+        return best_t, best_i
+
+    # homogeneous regions (models/compile.py sorts spheres | quads | media)
+    best = (best_t, best_i)
+    if start0 < scene.n_solid:
+        s0 = max(start0, 0)
+        best = sweep(best, s0, scene.n_sphere,
+                     do_spheres=True, do_quads=False, do_media=False)
+        best = sweep(best, max(scene.n_sphere, s0), scene.n_solid,
+                     do_spheres=False, do_quads=True, do_media=False)
+    best = sweep(best, scene.n_solid, n,
+                 do_spheres=False, do_quads=False, do_media=scene.has_media)
+    best_t, best_i = best
 
     return _hit_record(scene, ro, rd, rt, best_t, best_i)
 
