@@ -247,20 +247,36 @@ def trace_pool(
     regen, body = make_loop(s, t, slot_ids)
     state = regen(init_state(R), jnp.ones((R,), bool))
 
+    def run_until(body_fn, st, threshold):
+        """Advance the loop while more than ``threshold`` slots are active."""
+        if threshold > 0:
+            cond = lambda q: (jnp.sum(q.active) > threshold) & (q.iteration < iter_cap)
+        else:
+            cond = lambda q: jnp.any(q.active) & (q.iteration < iter_cap)
+        return jax.lax.while_loop(cond, body_fn, st)
+
     # straggler compaction: once active occupancy falls below 1/8 (slots
     # exhausted their samples while a few deep paths remain), gather the
-    # survivors into an R/8 pool and finish there - the long-path tail then
-    # costs 1/8 per iteration instead of dragging the whole wave along.
-    r_small = R // COMPACT_FRACTION
-    if R >= COMPACT_MIN and r_small > 0:
-        def cond_main(st: _PoolState):
-            return (jnp.sum(st.active) > r_small) & (st.iteration < iter_cap)
+    # survivors into a pool 1/8 the size and continue; repeat once more at
+    # 1/64 so the deepest paths don't drag a large pool along.
+    levels = []
+    m = R
+    while R >= COMPACT_MIN and m // COMPACT_FRACTION >= 1024:
+        m = m // COMPACT_FRACTION
+        levels.append(m)
 
-        st = jax.lax.while_loop(cond_main, body, state)
+    if not levels:
+        final = run_until(body, state, 0)
+        return final.accum, final.sample
 
-        order = jnp.argsort(~st.active, stable=True)[:r_small]
+    st = run_until(body, state, levels[0])
+    accum, sample = st.accum, st.sample
+    gids = slot_ids.astype(jnp.int32)
+    for li, m in enumerate(levels):
+        order = jnp.argsort(~st.active, stable=True)[:m]
+        gids = gids[order]
         take = lambda a: a[order]
-        tail = _PoolState(
+        stage = _PoolState(
             iteration=st.iteration,
             origin=take(st.origin),
             direction=take(st.direction),
@@ -269,20 +285,11 @@ def trace_pool(
             bounce=take(st.bounce),
             sample=take(st.sample),
             active=take(st.active),
-            accum=jnp.zeros((r_small, 3), jnp.float32),
+            accum=jnp.zeros((m, 3), jnp.float32),
         )
-        _, body_t = make_loop(take(s), take(t), take(slot_ids))
-
-        def cond_tail(stt: _PoolState):
-            return jnp.any(stt.active) & (stt.iteration < iter_cap)
-
-        tail = jax.lax.while_loop(cond_tail, body_t, tail)
-        accum = st.accum.at[order].add(tail.accum)
-        sample = st.sample.at[order].set(tail.sample)
-        return accum, sample
-
-    def cond(st: _PoolState):
-        return jnp.any(st.active) & (st.iteration < iter_cap)
-
-    final = jax.lax.while_loop(cond, body, state)
-    return final.accum, final.sample
+        _, body_m = make_loop(s[gids], t[gids], gids.astype(jnp.uint32))
+        nxt = levels[li + 1] if li + 1 < len(levels) else 0
+        st = run_until(body_m, stage, nxt)
+        accum = accum.at[gids].add(st.accum)
+        sample = sample.at[gids].set(st.sample)
+    return accum, sample

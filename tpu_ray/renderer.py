@@ -41,6 +41,19 @@ def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int)
     return _largest_divisor_leq(spp, max(1, rays_per_wave // max(width * height, 1)))
 
 
+def resolve_engine(scene, engine: str = "auto") -> str:
+    """'auto' -> the fused Pallas sweep for >512-prim scenes on TPU (smaller
+    compile, no (R, C) temporaries, ~1.5x on next-week-final), XLA brute
+    force otherwise (wins at reference scene sizes; also the CPU/test path,
+    where Pallas would run interpreted)."""
+    if engine != "auto":
+        return engine
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    return "pallas" if (on_tpu and scene.n_prims > 512) else "xla"
+
+
 def plan_pool(scene, width: int, height: int, spp: int,
               rays_per_wave: int = 1 << 20, samples_per_wave: int = 64,
               engine: str = "xla"):
@@ -53,14 +66,19 @@ def plan_pool(scene, width: int, height: int, spp: int,
     per-wave sample counts are capped so a single wave stays under remote
     runtime watchdogs (~60s of device time) on big scenes.
     """
-    if engine == "xla":
-        chunk = max(1, min(scene.n_prims, 512))
-        rays_per_wave = min(rays_per_wave,
-                            max(int(12e9 / (chunk * 4 * 6)), 1 << 16))
+    engine = resolve_engine(scene, engine)
+    if engine == "xla" and scene.n_prims > 512:
+        # multi-chunk (lax.scan) scenes: the remote TPU worker crashes above
+        # ~150k lanes x 512-prim chunks (empirical); single-chunk scenes run
+        # fine at 1M lanes
+        rays_per_wave = min(rays_per_wave, 150_000)
+    if engine == "pallas" and scene.n_prims > 512:
+        # empirically stable lane count for big-scene kernel waves
+        rays_per_wave = min(rays_per_wave, 200_000)
     k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
     s_total = spp // k_pool
     lanes = width * height * k_pool
-    s_budget = max(1, int(6e13 / (lanes * max(scene.n_prims, 1) * 8)))
+    s_budget = max(1, int(2e13 / (lanes * max(scene.n_prims, 1) * 8)))
     s_wave = _largest_divisor_leq(s_total, min(samples_per_wave, s_budget))
     return k_pool, s_wave, s_total // s_wave
 
@@ -148,7 +166,7 @@ def render(
     samples_per_wave: int = 64,
     mode: str = "pool",
     bvh=False,
-    engine: str = "xla",
+    engine: str = "auto",
     mesh=None,
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -163,6 +181,7 @@ def render(
     stack-based BVH traversal instead of brute force.
     """
     base_key = jax.random.PRNGKey(seed)
+    engine = resolve_engine(scene, engine)
     bvh_arrays = None
     if bvh:
         from .ops.bvh import build_bvh

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time", action="store_true", help="print wall time to stderr")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "gpu"),
                    help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
-    p.add_argument("--engine", default="xla", choices=("xla", "pallas"),
+    p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas"),
                    help="solid-primitive intersect engine")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
