@@ -38,7 +38,7 @@ def _kernel(ro_ref, rd_ref, rt_ref,
             qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
             u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
             out_t_ref, out_i_ref,
-            *, n_blocks: int, t_min: float, has_moving: bool, has_quads: bool):
+            *, block_kinds, t_min: float, has_moving: bool):
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]  # (T,1)
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
     a = rdx * rdx + rdy * rdy + rdz * rdz        # (T,1)
@@ -48,29 +48,32 @@ def _kernel(ro_ref, rd_ref, rt_ref,
     best_t = jnp.full((TILE_R, 1), BIG)
     best_i = jnp.zeros((TILE_R, 1), jnp.int32)
 
-    for pb in range(n_blocks):
+    for pb, (sph_b, quad_b) in enumerate(block_kinds):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
         kind = kind_ref[0, s][None, :]           # (1,P)
-        # --- spheres: quadratic (src/Lib.hs:1081-1108) ---
-        cx = cx_ref[0, s][None, :]
-        cy = cy_ref[0, s][None, :]
-        cz = cz_ref[0, s][None, :]
-        if has_moving:
-            dt = rt - t0_ref[0, s][None, :]      # (T,P)
-            cx = cx + vx_ref[0, s][None, :] * dt
-            cy = cy + vy_ref[0, s][None, :] * dt
-            cz = cz + vz_ref[0, s][None, :] * dt
-        ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
-        b = ocx * rdx + ocy * rdy + ocz * rdz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r2_ref[0, s][None, :]
-        disc = b * b - a * c
-        ok = disc > 0.0
-        sd = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sd) * inv_a
-        t2 = (-b + sd) * inv_a
-        t = jnp.where(ok & (t1 > t_min), t1,
-                      jnp.where(ok & (t2 > t_min), t2, BIG))
-        if has_quads:
+        t = None
+        if sph_b:
+            # --- spheres: quadratic (src/Lib.hs:1081-1108) ---
+            cx = cx_ref[0, s][None, :]
+            cy = cy_ref[0, s][None, :]
+            cz = cz_ref[0, s][None, :]
+            if has_moving:
+                dt = rt - t0_ref[0, s][None, :]  # (T,P)
+                cx = cx + vx_ref[0, s][None, :] * dt
+                cy = cy + vy_ref[0, s][None, :] * dt
+                cz = cz + vz_ref[0, s][None, :] * dt
+            ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
+            b = ocx * rdx + ocy * rdy + ocz * rdz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2_ref[0, s][None, :]
+            disc = b * b - a * c
+            ok = disc > 0.0
+            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b - sd) * inv_a
+            t2 = (-b + sd) * inv_a
+            t_s = jnp.where(ok & (t1 > t_min), t1,
+                            jnp.where(ok & (t2 > t_min), t2, BIG))
+            t = jnp.where(kind == PRIM_SPHERE, t_s, BIG)
+        if quad_b:
             # --- quads: world-space parallelogram (cf. ops/intersect.py) ---
             nx = qnx_ref[0, s][None, :]
             ny = qny_ref[0, s][None, :]
@@ -86,7 +89,10 @@ def _kernel(ro_ref, rd_ref, rt_ref,
                 + xz * u2z_ref[0, s][None, :]
             okq = (tq > t_min) & (uq >= 0.0) & (uq <= 1.0) \
                 & (vq >= 0.0) & (vq <= 1.0)
-            t = jnp.where(kind == PRIM_QUAD, jnp.where(okq, tq, BIG), t)
+            tq = jnp.where((kind == PRIM_QUAD) & okq, tq, BIG)
+            t = tq if t is None else jnp.where(kind == PRIM_QUAD, tq, t)
+        if t is None:  # pad-only block
+            continue
 
         bt = jnp.min(t, axis=1, keepdims=True)             # (T,1)
         bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
@@ -144,12 +150,19 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
 
     fields, P = _pack_solids(scene)
     grid = (Rp // TILE_R,)
+    # per-block kind flags: prims are sorted spheres | quads (compile.py),
+    # so each 128-block runs only the math it needs
+    block_kinds = tuple(
+        (pb * PBLK < scene.n_sphere,
+         scene.has_quads and (pb + 1) * PBLK > scene.n_sphere
+         and pb * PBLK < scene.n_solid)
+        for pb in range(P // PBLK)
+    )
     kern = partial(
         _kernel,
-        n_blocks=P // PBLK,
+        block_kinds=block_kinds,
         t_min=float(scene.t_min),
         has_moving=scene.has_moving,
-        has_quads=scene.has_quads,
     )
     ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
