@@ -203,3 +203,15 @@ def test_sharded_render_uneven_waves():
     img_single = render(scene, cam, 8, 8, spp=5, **kwargs)  # 5 waves over 8 devices
     img_mesh = render(scene, cam, 8, 8, spp=5, mesh=make_mesh(8), **kwargs)
     np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)
+
+
+def test_resolve_engine():
+    from tpu_ray.renderer import resolve_engine
+
+    small = SCENES["cornell"].build()
+    big = SCENES["next-week-final"].build(seed=1, earth=None)
+    # on CPU (tests), auto always resolves to the XLA sweep
+    assert resolve_engine(small, "auto") == "xla"
+    assert resolve_engine(big, "auto") == "xla"
+    assert resolve_engine(small, "pallas") == "pallas"
+    assert resolve_engine(big, "xla") == "xla"

@@ -29,6 +29,7 @@ from ..models.scene_data import PRIM_QUAD, PRIM_SPHERE, SceneData
 
 TILE_R = 256
 PBLK = 128
+SPECIALIZE_BLOCKS = True  # set False to bisect kernel issues
 BIG = 3.4e38  # sentinel (finite, so masked min/argmin stay sane)
 
 
@@ -152,12 +153,17 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     grid = (Rp // TILE_R,)
     # per-block kind flags: prims are sorted spheres | quads (compile.py),
     # so each 128-block runs only the math it needs
-    block_kinds = tuple(
-        (pb * PBLK < scene.n_sphere,
-         scene.has_quads and (pb + 1) * PBLK > scene.n_sphere
-         and pb * PBLK < scene.n_solid)
-        for pb in range(P // PBLK)
-    )
+    if SPECIALIZE_BLOCKS:
+        block_kinds = tuple(
+            (pb * PBLK < scene.n_sphere,
+             scene.has_quads and (pb + 1) * PBLK > scene.n_sphere
+             and pb * PBLK < scene.n_solid)
+            for pb in range(P // PBLK)
+        )
+    else:
+        block_kinds = tuple(
+            (scene.has_spheres, scene.has_quads) for _ in range(P // PBLK)
+        )
     kern = partial(
         _kernel,
         block_kinds=block_kinds,
