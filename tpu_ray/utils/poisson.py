@@ -2,10 +2,11 @@
 
 The reference ships a complete Bridson sampler for jittering sample
 positions within a pixel but never calls it (``_poissonRandomUVs``,
-src/Lib.hs:1373-1486, k=30, r = sqrt(2)/sqrt(n)).  This is the working
-equivalent: ``poisson_disk(n, seed)`` returns >= n blue-noise points in the
-unit square; the renderer can use them as a shared progressive jitter
-pattern (``tpu_ray.renderer.render(sampler="poisson")``).
+src/Lib.hs:1373-1486, k=30, r = sqrt(2)/sqrt(n)).  ``poisson_disk(n, seed)``
+is the working equivalent: >= n blue-noise points in the unit square,
+exposed as a standalone utility (the renderer's default jitter is the
+per-sample counter hash; like the reference, nothing routes through the
+Poisson pattern yet).
 """
 from __future__ import annotations
 
@@ -15,10 +16,13 @@ K_CANDIDATES = 30  # candidates per active point, as the reference uses
 
 
 def poisson_disk(n: int, seed: int = 0) -> np.ndarray:
-    """At least ``n`` Poisson-disk points in [0, 1)^2, radius sqrt(2)/sqrt(n).
+    """Maximal Poisson-disk point set in [0, 1)^2 with radius sqrt(2)/sqrt(n).
 
-    Bridson's algorithm with a background grid of cell size r/sqrt(2)
+    Bridson's algorithm with a background grid of cell size 1/sqrt(n)
     (the reference uses a = 1/sqrt(n), r = sqrt(2) * a, src/Lib.hs:1400-1402).
+    Note the radius geometrically admits only ~n/2 points, so the returned
+    count is below ``n`` - a property the reference's (never-called) sampler
+    shares.
     """
     rng = np.random.default_rng(seed)
     a = 1.0 / np.sqrt(max(n, 1))
@@ -61,10 +65,4 @@ def poisson_disk(n: int, seed: int = 0) -> np.ndarray:
         else:
             active.pop()
 
-    pts = np.asarray(points, np.float32)
-    # Bridson with this radius yields ~n points; top up with dart throwing
-    # so callers can always index [0, n)
-    while len(pts) < n:
-        cand = rng.random((n, 2)).astype(np.float32)
-        pts = np.concatenate([pts, cand[: n - len(pts)]])
-    return pts
+    return np.asarray(points, np.float32)
