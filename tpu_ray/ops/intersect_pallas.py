@@ -29,7 +29,10 @@ from ..models.scene_data import PRIM_QUAD, PRIM_SPHERE, SceneData
 
 TILE_R = 256
 PBLK = 128
-SPECIALIZE_BLOCKS = True  # set False to bisect kernel issues
+# Per-block kind specialization produces a kernel that faults the real
+# TPU worker (interpret mode is fine); disabled until the Mosaic issue
+# is understood.  The uniform kernel is the one validated on hardware.
+SPECIALIZE_BLOCKS = False
 BIG = 3.4e38  # sentinel (finite, so masked min/argmin stay sane)
 
 

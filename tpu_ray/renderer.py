@@ -30,8 +30,8 @@ from .models.scene_data import SceneData
 
 # empirically stable lane counts on the remote TPU worker for >512-prim
 # scenes (see plan_pool / the band-tiling logic in render)
-XLA_BIG_SCENE_LANES = 150_000
-PALLAS_BIG_SCENE_LANES = 200_000
+XLA_BIG_SCENE_LANES = 160_000
+PALLAS_BIG_SCENE_LANES = 160_000
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
