@@ -55,7 +55,6 @@ from .scene_data import (
 
 PERLIN_POINTS = 256
 
-_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
 # plane -> (i_axis, j_axis, k_axis); reference rect orientations
 # (src/Lib.hs:1005-1012)
 _PLANE_AXES = {"xy": (0, 1, 2), "xz": (0, 2, 1), "yz": (1, 2, 0)}
