@@ -262,3 +262,15 @@ def test_band_tiling_matches_unbanded(monkeypatch):
     # bands renumber slots, so compare statistically
     np.testing.assert_allclose(img_banded.mean(), img_plain.mean(), rtol=0.05)
     assert np.isfinite(img_banded).all()
+
+
+def test_sharded_cornell_with_lights():
+    """MIS light sampling under shard_map + psum matches single device."""
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene = SCENES["cornell"].build()
+    cam = SCENES["cornell"].camera(10, 10)
+    kwargs = dict(max_depth=6, seed=13, rays_per_wave=100, samples_per_wave=1)
+    img_single = render(scene, cam, 10, 10, spp=8, **kwargs)
+    img_mesh = render(scene, cam, 10, 10, spp=8, mesh=make_mesh(8), **kwargs)
+    np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)

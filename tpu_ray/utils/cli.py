@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
     p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas"),
                    help="solid-primitive intersect engine")
+    p.add_argument("--mode", default="pool", choices=("pool", "wave"),
+                   help="integrator: regenerating ray pool (fast) or plain wavefront")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -91,7 +93,7 @@ def main(argv=None) -> int:
             scene, camera, args.width, args.height, args.spp,
             max_depth=args.max_depth, seed=args.seed,
             rays_per_wave=args.rays_per_wave, mesh=mesh, progress=True,
-            engine=args.engine, bvh=args.bvh,
+            engine=args.engine, bvh=args.bvh, mode=args.mode,
             checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
         )
     elapsed = time.perf_counter() - t_start
