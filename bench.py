@@ -30,7 +30,11 @@ CONFIGS = {
 }
 
 
-def run(config: str, rays_per_wave: int, out: str | None) -> dict:
+def run(config: str, rays_per_wave: int, out: str | None,
+        engine: str = "auto", bvh: bool = False, resume: bool = False) -> dict:
+    from tpu_ray.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from tpu_ray.models.scenes import SCENES
@@ -47,12 +51,13 @@ def run(config: str, rays_per_wave: int, out: str | None) -> dict:
 
     kwargs = dict(
         max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
+        engine=engine, bvh=bvh,
     )
     # warmup: compile with the exact wave shapes of the timed run
-    from tpu_ray.renderer import plan_pool
+    from tpu_ray.renderer import plan_pool, resolve_engine
 
     k_pool, _, _ = plan_pool(scene, cfg["width"], cfg["height"], cfg["spp"],
-                             rays_per_wave)
+                             rays_per_wave, engine=resolve_engine(scene, engine))
     t0 = time.perf_counter()
     # one sample per slot: the per-wave sample count is traced, so this
     # compiles the exact executable the timed run reuses
@@ -60,8 +65,25 @@ def run(config: str, rays_per_wave: int, out: str | None) -> dict:
     print(f"[bench] warmup ({k_pool} spp, incl. compile): "
           f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
+    from tpu_ray.renderer import clear_auto_checkpoints
+
+    if not resume:
+        clear_auto_checkpoints()  # a timed attempt must render from scratch
     t0 = time.perf_counter()
-    img = render(scene, camera, cfg["width"], cfg["height"], spp=cfg["spp"], **kwargs)
+    try:
+        img = render(scene, camera, cfg["width"], cfg["height"],
+                     spp=cfg["spp"], **kwargs)
+    except Exception as e:
+        if not resume:
+            raise
+        # crash-resilient mode: report the time spent so the parent can sum
+        # it; the auto checkpoint lets the next attempt resume mid-render
+        print(json.dumps({
+            "partial": True,
+            "elapsed": round(time.perf_counter() - t0, 3),
+            "error": type(e).__name__,
+        }))
+        raise
     elapsed = time.perf_counter() - t0
     msamples = cfg["width"] * cfg["height"] * cfg["spp"] / 1e6
     print(f"[bench] {config}: {elapsed:.3f}s "
@@ -76,6 +98,8 @@ def run(config: str, rays_per_wave: int, out: str | None) -> dict:
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(baseline / elapsed, 2) if baseline else None,
+        "engine": engine,
+        "bvh": bvh,
     }
 
 
@@ -84,13 +108,20 @@ def main(argv=None) -> int:
     p.add_argument("--config", default="book1", choices=sorted(CONFIGS))
     p.add_argument("--rays-per-wave", type=int, default=1 << 20)
     p.add_argument("--out", default=None, help="optionally save the image")
+    p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas"))
+    p.add_argument("--bvh", action="store_true")
     p.add_argument("--child", action="store_true",
                    help="run the measurement in-process (internal)")
     p.add_argument("--attempts", type=int, default=3)
+    p.add_argument("--resume", action="store_true",
+                   help="let attempts resume each other's auto checkpoints; "
+                        "the reported value is the SUM of render time across "
+                        "attempts (for configs that crash the remote worker)")
     args = p.parse_args(argv)
 
     if args.child:
-        result = run(args.config, args.rays_per_wave, args.out)
+        result = run(args.config, args.rays_per_wave, args.out,
+                     engine=args.engine, bvh=args.bvh, resume=args.resume)
         print(json.dumps(result))
         return 0
 
@@ -102,20 +133,39 @@ def main(argv=None) -> int:
     import subprocess
 
     child_args = [sys.executable, os.path.abspath(__file__), "--child",
-                  "--config", args.config,
+                  "--config", args.config, "--engine", args.engine,
                   "--rays-per-wave", str(args.rays_per_wave)]
+    if args.bvh:
+        child_args += ["--bvh"]
+    if args.resume:
+        child_args += ["--resume"]
+        from tpu_ray.renderer import clear_auto_checkpoints
+
+        clear_auto_checkpoints()  # attempts resume EACH OTHER, not old runs
     if args.out:
         child_args += ["--out", args.out]
     last_err = ""
+    partial_s = 0.0
+    crashes = 0
     for attempt in range(args.attempts):
         r = subprocess.run(child_args, capture_output=True, text=True)
         sys.stderr.write(r.stderr)
-        line = next(
-            (ln for ln in r.stdout.splitlines() if ln.startswith("{")), None
-        )
-        if r.returncode == 0 and line:
-            print(line)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        parsed = [json.loads(ln) for ln in lines]
+        done = next((p_ for p_ in parsed if "metric" in p_), None)
+        if r.returncode == 0 and done:
+            if partial_s:
+                done["value"] = round(done["value"] + partial_s, 3)
+                done["crashes"] = crashes
+                base = BASELINES[args.config]
+                done["vs_baseline"] = (
+                    round(base / done["value"], 2) if base else None
+                )
+            print(json.dumps(done))
             return 0
+        partial_s += sum(p_.get("elapsed", 0.0) for p_ in parsed
+                         if p_.get("partial"))
+        crashes += 1
         last_err = (r.stdout + r.stderr)[-500:]
         print(f"[bench] attempt {attempt + 1} failed; retrying in 30s",
               file=sys.stderr)

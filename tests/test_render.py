@@ -240,28 +240,101 @@ def test_checkpoint_path_without_npz(tmp_path):
     render(scene, cam, 8, 8, spp=8, checkpoint_path=ck, checkpoint_every=2, **kw)
     img_resumed = render(scene, cam, 8, 8, spp=8, checkpoint_path=ck, **kw)
     np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
-    # a checkpoint from different settings is rejected, not blended
+    # a mismatched checkpoint (different max_depth) must be DISCARDED, not
+    # blended: the result equals a fresh render at the new settings
+    img_fresh4 = render(scene, cam, 8, 8, spp=8, max_depth=4, seed=6,
+                        rays_per_wave=64, samples_per_wave=2)
     img_other = render(scene, cam, 8, 8, spp=8, checkpoint_path=ck,
                        max_depth=4, seed=6, rays_per_wave=64, samples_per_wave=2)
-    assert np.abs(img_other - img_full).max() >= 0  # completed without error
+    np.testing.assert_allclose(img_other, img_fresh4, atol=1e-6)
+    assert np.abs(np.asarray(img_fresh4) - np.asarray(img_full)).max() > 1e-4
 
 
-def test_band_tiling_matches_unbanded(monkeypatch):
-    """Force the band path with a tiny lane cap; the image must match."""
+def test_auto_checkpoint_survives_crash(monkeypatch, capsys):
+    """Long renders checkpoint by default: a crash mid-render loses at most
+    one checkpoint interval, and an identical re-run resumes (VERDICT round
+    1 item 8; the reference's streamed rows give the same property)."""
     import tpu_ray.renderer as R
 
+    spec = SCENES["two-spheres"]
+    scene = spec.build()
+    cam = spec.camera(8, 8)
+    kw = dict(max_depth=3, seed=9, rays_per_wave=64, samples_per_wave=1)
+    monkeypatch.setattr(R, "AUTO_CHECKPOINT_WAVES", 2)
+    img_full = render(scene, cam, 8, 8, spp=8, **kw)  # 8 waves, auto-ckpt
+
+    real_step = R._pool_step
+    calls = {"n": 0}
+
+    def crashing_step(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("simulated TPU worker crash")
+        return real_step(*a, **k)
+
+    monkeypatch.setattr(R, "_pool_step", crashing_step)
+    with pytest.raises(RuntimeError):
+        render(scene, cam, 8, 8, spp=8, **kw)
+    monkeypatch.setattr(R, "_pool_step", real_step)
+
+    # the auto checkpoint from the crashed run must resume, not restart
+    img_resumed = render(scene, cam, 8, 8, spp=8, progress=True, **kw)
+    assert "resuming at wave" in capsys.readouterr().err
+    np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
+
+
+def test_checkpoint_rejects_edited_scene(tmp_path):
+    """Same prim count, different material -> checkpoint must not blend in."""
+    def make(albedo):
+        objs = [ob.Sphere((0, 0, -3), 1.0, ob.Lambertian(albedo))]
+        return build_scene(objs, background=(0.7, 0.8, 0.9))
+
+    cam = Camera.create((0, 0, 1), (0, 0, -3), (0, 1, 0), 60.0, 1.0, 0.0, 4.0)
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(max_depth=3, seed=7, rays_per_wave=64, samples_per_wave=2)
+    render(make((0.9, 0.1, 0.1)), cam, 8, 8, spp=8, checkpoint_path=ck,
+           checkpoint_every=2, **kw)
+    green = make((0.1, 0.9, 0.1))
+    img_fresh = render(green, cam, 8, 8, spp=8, **kw)
+    img_ck = render(green, cam, 8, 8, spp=8, checkpoint_path=ck, **kw)
+    np.testing.assert_allclose(img_ck, img_fresh, atol=1e-6)
+
+
+def _band_test_scene():
     objs = [ob.Sphere((i - 300, 0, -5), 0.45, ob.Lambertian((0.5, 0.5, 0.5)))
             for i in range(600)]  # >512 prims to qualify as a big scene
     scene = build_scene(objs, background=(0.3, 0.5, 0.7))
     cam = Camera.create((0, 0, 5), (0, 0, 0), (0, 1, 0), 60.0, 1.0, 0.0, 5.0)
-    img_plain = render(scene, cam, 16, 12, spp=4, max_depth=3, seed=2)
+    return scene, cam
+
+
+def test_band_tiling_matches_unbanded(monkeypatch):
+    """Force the band path with a tiny lane cap; the image must be
+    BIT-IDENTICAL: all randomness is keyed by global slot/pixel ids."""
+    import tpu_ray.renderer as R
+
+    scene, cam = _band_test_scene()
+    kw = dict(spp=4, max_depth=3, seed=2, rays_per_wave=16 * 12)  # k_pool=1
+    img_plain = render(scene, cam, 16, 12, **kw)
     monkeypatch.setattr(R, "XLA_BIG_SCENE_LANES", 64)  # 16x12 > 64 -> bands
-    img_banded = render(scene, cam, 16, 12, spp=4, max_depth=3, seed=2)
+    img_banded = render(scene, cam, 16, 12, **kw)
     assert img_banded.shape == (12, 16, 3)
-    # same camera-sample streams per pixel would require identical slot ids;
-    # bands renumber slots, so compare statistically
-    np.testing.assert_allclose(img_banded.mean(), img_plain.mean(), rtol=0.05)
-    assert np.isfinite(img_banded).all()
+    np.testing.assert_array_equal(img_banded, img_plain)
+
+
+def test_band_tiling_composes_with_mesh(monkeypatch):
+    """Big scenes over a mesh band-tile too (the lane cap must hold on every
+    device) and still produce the exact single-device image."""
+    import tpu_ray.renderer as R
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene, cam = _band_test_scene()
+    kw = dict(spp=4, max_depth=3, seed=2, rays_per_wave=16 * 12,
+              samples_per_wave=1)  # k_pool=1, 4 waves to spread over devices
+    img_plain = render(scene, cam, 16, 12, **kw)
+    monkeypatch.setattr(R, "XLA_BIG_SCENE_LANES", 64)
+    img_banded_mesh = render(scene, cam, 16, 12, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(img_banded_mesh, img_plain, rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_cornell_with_lights():

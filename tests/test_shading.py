@@ -241,6 +241,64 @@ def test_isotropic_uniform_sphere():
     np.testing.assert_allclose(np.asarray(out.weight)[0], [0.3, 0.6, 0.9], atol=1e-6)
 
 
+def test_strict_lambertian_unhittable_mixture():
+    """--estimator reference: no-light scenes send half the Lambertian
+    samples to the fixed direction (1,0,0) with weight 2*att above the
+    surface and 0 (the reference's NaN -> black) below
+    (src/Lib.hs:829-836, 702, 724)."""
+    scene = build_scene([ob.Sphere((0, 0, 0), 1.0, ob.Lambertian((0.5, 0.5, 0.5)))])
+    strict = scene.replace(strict=True)
+    R = 20000
+    rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (R, 1))
+
+    # normal +z: (1,0,0) lies in the tangent plane, dot == 0 -> weight 0
+    rec_up = _fake_hit(strict, R, (0, 0, 0), (0, 0, 1))
+    out = scatter(strict, KEY, rd, rec_up)
+    d = np.asarray(out.direction)
+    w = np.asarray(out.weight)
+    to_x = np.abs(d - [1.0, 0.0, 0.0]).max(axis=1) < 1e-6
+    frac_x = to_x.mean()
+    np.testing.assert_allclose(frac_x, 0.5, atol=0.02)
+    np.testing.assert_allclose(w[to_x], 0.0, atol=1e-6)        # below/graze
+    np.testing.assert_allclose(w[~to_x], 1.0, atol=1e-5)       # 2 * 0.5
+    # normal +x: the fixed direction is straight up the normal -> weight 2att
+    rec_x = _fake_hit(strict, R, (0, 0, 0), (1, 0, 0))
+    out_x = scatter(strict, KEY, rd, rec_x)
+    np.testing.assert_allclose(np.asarray(out_x.weight), 1.0, atol=1e-5)
+    # the fixed estimator never produces the (1,0,0) spike
+    out_fixed = scatter(scene, KEY, rd, rec_up)
+    d_fixed = np.asarray(out_fixed.direction)
+    assert (np.abs(d_fixed - [1.0, 0.0, 0.0]).max(axis=1) < 1e-6).mean() < 0.01
+
+
+def test_strict_isotropic_cosine_weighting():
+    """--estimator reference: media scatter with a non-unit in-ball
+    direction weighted by max(0, dot((1,0,0), raw_dir))/pi instead of the
+    proper uniform phase function (src/Lib.hs:861-878)."""
+    objs = [ob.ConstantMedium(1.0, (1.0, 1.0, 1.0),
+                              ob.Sphere((0, 0, 0), 1.0, ob.Lambertian((1, 1, 1))))]
+    scene = build_scene(objs)
+    strict = scene.replace(strict=True)
+    R = 40000
+    rec = _fake_hit(strict, R, (0, 0, 0), (1, 0, 0))
+    rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (R, 1))
+    out = scatter(strict, KEY, rd, rec)
+    d = np.asarray(out.direction)
+    w = np.asarray(out.weight)[:, 0]
+    r = np.linalg.norm(d, axis=1)
+    assert r.max() <= 1.0 + 1e-5 and r.mean() < 0.8  # in-ball, not unit
+    np.testing.assert_allclose(w, np.maximum(d[:, 0], 0.0) / np.pi, atol=1e-5)
+    # E[weight] = E[max(0, x)]/pi; x uniform in the ball: E[max(0,x)] =
+    # (1/2) * mean |x| = (1/2)(3/8 * ... ) -> just check the documented
+    # darkening: mean weight far below the fixed mode's 1.0
+    assert w.mean() < 0.1
+    out_fixed = scatter(scene, KEY, rd, rec)
+    np.testing.assert_allclose(np.asarray(out_fixed.weight), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out_fixed.direction), axis=1), 1.0, atol=1e-5
+    )
+
+
 def test_lambertian_mis_weight_unbiased():
     """With lights present, E[weight * f(dir)] must equal the cosine-sampled
     estimate of the same integrand (the MIS estimator is unbiased)."""

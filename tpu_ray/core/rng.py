@@ -26,6 +26,8 @@ __all__ = [
     "cosine_direction_from",
     "to_sphere_from",
     "hash_uniforms",
+    "hash_uniforms2",
+    "lane_uniforms",
 ]
 
 TWO_PI = 2.0 * jnp.pi
@@ -55,6 +57,34 @@ def hash_uniforms(seed: jnp.ndarray, n: int) -> jnp.ndarray:
         cols.append(bits)
     bits = jnp.stack(cols, axis=-1)
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def hash_uniforms2(a: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    """n U[0,1) floats keyed by a 2-word counter: ((R,), (R,)) -> (R, n).
+
+    Avoids the 32-bit wrap/collision structure of packing (slot, sample)
+    into one linear word: ``a`` is fully avalanched before ``b`` (scaled by
+    an odd constant) is xored in, so distinct (a, b) pairs collide only at
+    the random 2^-32 rate, never systematically.
+    """
+    seed = _murmur3_fmix(a.astype(jnp.uint32) + jnp.uint32(0x9E3779B9)) ^ (
+        b.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    )
+    return hash_uniforms(seed, n)
+
+
+def lane_uniforms(key, lane_ids: jnp.ndarray, n: int) -> jnp.ndarray:
+    """n threefry U[0,1) floats per lane, keyed by *lane id*: (R,) -> (R, n).
+
+    Unlike ``jax.random.uniform(key, (R, n))`` - whose values depend on a
+    lane's position in the array - each row here is a pure function of
+    (key, lane_ids[i]).  Rendering the same pixel slot therefore draws the
+    same path-space randomness no matter how the pool is banded, compacted,
+    padded or sharded; tests/test_render.py relies on this for exact
+    banded == unbanded == meshed equality.
+    """
+    ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(lane_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(ks)
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0) -> jnp.ndarray:

@@ -37,12 +37,14 @@ COMPACT_FRACTION = 8
 
 def _make_isect(scene, bvh, engine="xla"):
     if bvh is None:
-        return lambda ro, rd, rt, key: intersect_scene(
-            scene, ro, rd, rt, key, engine=engine
+        return lambda ro, rd, rt, key, ids: intersect_scene(
+            scene, ro, rd, rt, key, engine=engine, lane_ids=ids
         )
     from .ops.bvh import intersect_scene_bvh
 
-    return lambda ro, rd, rt, key: intersect_scene_bvh(scene, bvh, ro, rd, rt, key)
+    return lambda ro, rd, rt, key, ids: intersect_scene_bvh(
+        scene, bvh, ro, rd, rt, key, lane_ids=ids
+    )
 
 
 class _PathState(NamedTuple):
@@ -55,16 +57,19 @@ class _PathState(NamedTuple):
 
 
 def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
-          engine: str = "xla"):
+          engine: str = "xla", lane_ids=None):
     """Trace a wavefront to completion; returns per-ray radiance (R, 3).
 
     ``rt`` is the per-ray shutter time, constant along each path (the
     reference threads ``rtime`` through every scattered ray).  Pass a
     :class:`~tpu_ray.ops.bvh.BVHArrays` as ``bvh`` to use traversal instead
-    of the brute-force intersector.
+    of the brute-force intersector.  ``lane_ids`` keys each lane's
+    randomness (defaults to position).
     """
     isect = _make_isect(scene, bvh, engine)
     R = ro.shape[0]
+    if lane_ids is None:
+        lane_ids = jnp.arange(R, dtype=jnp.uint32)
     state = _PathState(
         bounce=jnp.int32(0),
         origin=ro,
@@ -79,8 +84,8 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
 
     def body(s: _PathState) -> _PathState:
         kb = jax.random.fold_in(key, s.bounce)
-        rec = isect(s.origin, s.direction, rt, jax.random.fold_in(kb, 0))
-        sc = scatter(scene, jax.random.fold_in(kb, 1), s.direction, rec)
+        rec = isect(s.origin, s.direction, rt, jax.random.fold_in(kb, 0), lane_ids)
+        sc = scatter(scene, jax.random.fold_in(kb, 1), s.direction, rec, lane_ids)
 
         miss = s.alive & ~rec.hit
         emit = s.alive & rec.hit & ~sc.scattered
@@ -132,6 +137,7 @@ def trace_pool(
     cam_salt=jnp.uint32(0),    # render-level salt for the camera stream
     bvh=None,                  # optional BVHArrays for traversal
     engine: str = "xla",       # "xla" | "pallas" solid-prim sweep
+    slot_ids=None,             # (R,) uint32 GLOBAL slot ids (default arange)
 ):
     """Ray-pool path tracing with immediate path regeneration.
 
@@ -144,8 +150,11 @@ def trace_pool(
     accumulator and the slot immediately starts its next camera ray.  Lane
     utilization stays ~100% until the final-sample tail.
 
-    Camera-sample randomness is keyed by the slot's *global* sample index,
-    so the rendered estimate is independent of wave scheduling.
+    ALL randomness (camera uniforms, path-space draws, medium free flight)
+    is keyed by the slot's *global* id (``slot_ids``) and global sample /
+    iteration index - never by lane position - so the rendered estimate is
+    bit-identical no matter how the pool is scheduled into waves, split
+    into bands, compacted, or sharded over a mesh.
 
     Returns (accum (R, 3) summed radiance, samples_done (R,)).
     """
@@ -159,7 +168,9 @@ def trace_pool(
     n_samples = jnp.asarray(n_samples, jnp.int32)
     isect = _make_isect(scene, bvh, engine)
     k_loop = key
-    slot_ids = jnp.arange(R, dtype=jnp.uint32)
+    if slot_ids is None:
+        slot_ids = jnp.arange(R, dtype=jnp.uint32)
+    slot_ids = jnp.asarray(slot_ids, jnp.uint32)
     cam_salt = jnp.asarray(cam_salt, jnp.uint32)
     inv_w, inv_h = inv_wh
 
@@ -169,13 +180,14 @@ def trace_pool(
         def regen(state: _PoolState, just_died) -> _PoolState:
             want = just_died & (state.sample < n_samples)
             # per-(slot, global sample) camera uniforms: jitter x/y, lens,
-            # time, from a cheap counter hash keyed by the global sample
-            # index (so the estimate is independent of wave scheduling)
-            seeds = (
-                (sample0 + state.sample.astype(jnp.uint32)) * jnp.uint32(R)
-                + slot_ids_loc
+            # time, from a 2-word counter hash over (global slot id,
+            # global sample index) - no packing into one word, so no
+            # wrap collisions at any render size
+            u5 = rng_mod.hash_uniforms2(
+                slot_ids_loc,
+                (sample0 + state.sample.astype(jnp.uint32)) ^ cam_salt,
+                5,
             )
-            u5 = rng_mod.hash_uniforms(seeds ^ cam_salt, 5)
             ro, rd, rt = camera.rays_from_uniforms(
                 s_loc + u5[:, 0] * inv_w, t_loc + u5[:, 1] * inv_h, u5[:, 2:5]
             )
@@ -193,8 +205,10 @@ def trace_pool(
 
         def body(st: _PoolState) -> _PoolState:
             kb = jax.random.fold_in(k_loop, st.iteration)
-            rec = isect(st.origin, st.direction, st.time, jax.random.fold_in(kb, 0))
-            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec)
+            rec = isect(st.origin, st.direction, st.time,
+                        jax.random.fold_in(kb, 0), slot_ids_loc)
+            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec,
+                         slot_ids_loc)
 
             miss = st.active & ~rec.hit
             emit = st.active & rec.hit & ~sc.scattered
@@ -271,7 +285,10 @@ def trace_pool(
 
     st = run_until(body, state, levels[0])
     accum, sample = st.accum, st.sample
-    gids = slot_ids.astype(jnp.int32)
+    # ``gids``: each compacted lane's position in the ORIGINAL pool (for
+    # scattering results back); randomness stays keyed on slot_ids[gids],
+    # so compaction is invisible to the estimate.
+    gids = jnp.arange(R, dtype=jnp.int32)
     for li, m in enumerate(levels):
         order = jnp.argsort(~st.active, stable=True)[:m]
         gids = gids[order]
@@ -287,7 +304,7 @@ def trace_pool(
             active=take(st.active),
             accum=jnp.zeros((m, 3), jnp.float32),
         )
-        _, body_m = make_loop(s[gids], t[gids], gids.astype(jnp.uint32))
+        _, body_m = make_loop(s[gids], t[gids], slot_ids[gids])
         nxt = levels[li + 1] if li + 1 < len(levels) else 0
         st = run_until(body_m, stage, nxt)
         accum = accum.at[gids].add(st.accum)

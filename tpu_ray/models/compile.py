@@ -353,25 +353,25 @@ def build_scene(
     ) & box_media
 
     prim_arrays = PrimArrays(
-        kind=jnp.asarray(kind),
-        mat=jnp.asarray(mat),
-        center=jnp.asarray(center),
-        velocity=jnp.asarray(velocity),
-        time0=jnp.asarray(time0),
-        radius=jnp.asarray(radius),
-        quad_p0=jnp.asarray(quad_p0),
-        quad_e1=jnp.asarray(quad_e1),
-        quad_e2=jnp.asarray(quad_e2),
-        quad_n=jnp.asarray(quad_n),
-        quad_d=jnp.asarray(quad_d),
-        quad_inv1=jnp.asarray(quad_inv1),
-        quad_inv2=jnp.asarray(quad_inv2),
-        box_min=jnp.asarray(box_min),
-        box_max=jnp.asarray(box_max),
-        neg_inv_density=jnp.asarray(neg_inv_density),
-        medium_slot=jnp.asarray(medium_slot),
-        xf_rot=jnp.asarray(xf_rot),
-        xf_off=jnp.asarray(xf_off),
+        kind=np.asarray(kind),
+        mat=np.asarray(mat),
+        center=np.asarray(center),
+        velocity=np.asarray(velocity),
+        time0=np.asarray(time0),
+        radius=np.asarray(radius),
+        quad_p0=np.asarray(quad_p0),
+        quad_e1=np.asarray(quad_e1),
+        quad_e2=np.asarray(quad_e2),
+        quad_n=np.asarray(quad_n),
+        quad_d=np.asarray(quad_d),
+        quad_inv1=np.asarray(quad_inv1),
+        quad_inv2=np.asarray(quad_inv2),
+        box_min=np.asarray(box_min),
+        box_max=np.asarray(box_max),
+        neg_inv_density=np.asarray(neg_inv_density),
+        medium_slot=np.asarray(medium_slot),
+        xf_rot=np.asarray(xf_rot),
+        xf_off=np.asarray(xf_off),
     )
 
     # --- materials / textures ---
@@ -381,10 +381,10 @@ def build_scene(
         tables.tex_rows.append((TEX_CONSTANT, (0.0, 0.0, 0.0), 0, 0, 0.0, 0, 0))
     mk, mt, mf, mr = zip(*tables.mat_rows)
     mats = MaterialArrays(
-        kind=jnp.asarray(np.array(mk, np.int32)),
-        tex=jnp.asarray(np.array(mt, np.int32)),
-        fuzz=jnp.asarray(np.array(mf, np.float32)),
-        ref_idx=jnp.asarray(np.array(mr, np.float32)),
+        kind=np.asarray(np.array(mk, np.int32)),
+        tex=np.asarray(np.array(mt, np.int32)),
+        fuzz=np.asarray(np.array(mf, np.float32)),
+        ref_idx=np.asarray(np.array(mr, np.float32)),
     )
     tk, tc, to, te, ts, tp, ti = zip(*tables.tex_rows)
     if tables.perlins:
@@ -407,17 +407,17 @@ def build_scene(
         atlas = np.zeros((1, 1, 1, 3), np.float32)
         sizes = np.ones((1, 2), np.int32)
     texs = TextureArrays(
-        kind=jnp.asarray(np.array(tk, np.int32)),
-        color=jnp.asarray(np.array(tc, np.float32)),
-        odd=jnp.asarray(np.array(to, np.int32)),
-        even=jnp.asarray(np.array(te, np.int32)),
-        scale=jnp.asarray(np.array(ts, np.float32)),
-        perlin_id=jnp.asarray(np.array(tp, np.int32)),
-        image_id=jnp.asarray(np.array(ti, np.int32)),
-        perlin_grad=jnp.asarray(perlin_grad),
-        perlin_perm=jnp.asarray(perlin_perm),
-        img_atlas=jnp.asarray(atlas),
-        img_size=jnp.asarray(sizes),
+        kind=np.asarray(np.array(tk, np.int32)),
+        color=np.asarray(np.array(tc, np.float32)),
+        odd=np.asarray(np.array(to, np.int32)),
+        even=np.asarray(np.array(te, np.int32)),
+        scale=np.asarray(np.array(ts, np.float32)),
+        perlin_id=np.asarray(np.array(tp, np.int32)),
+        image_id=np.asarray(np.array(ti, np.int32)),
+        perlin_grad=np.asarray(perlin_grad),
+        perlin_perm=np.asarray(perlin_perm),
+        img_atlas=np.asarray(atlas),
+        img_size=np.asarray(sizes),
     )
 
     # --- lights ---
@@ -447,17 +447,17 @@ def build_scene(
     ln = np.stack(ln).astype(np.float32)
     ld, linv1, linv2, larea = _quad_derived(lp0, le1, le2, ln)
     light_arrays = LightArrays(
-        kind=jnp.asarray(np.array(lk, np.int32)),
-        quad_p0=jnp.asarray(lp0),
-        quad_e1=jnp.asarray(le1),
-        quad_e2=jnp.asarray(le2),
-        quad_n=jnp.asarray(ln),
-        quad_d=jnp.asarray(ld),
-        quad_inv1=jnp.asarray(linv1),
-        quad_inv2=jnp.asarray(linv2),
-        quad_area=jnp.asarray(larea),
-        center=jnp.asarray(np.stack(lc).astype(np.float32)),
-        radius=jnp.asarray(np.array(lr, np.float32)),
+        kind=np.asarray(np.array(lk, np.int32)),
+        quad_p0=np.asarray(lp0),
+        quad_e1=np.asarray(le1),
+        quad_e2=np.asarray(le2),
+        quad_n=np.asarray(ln),
+        quad_d=np.asarray(ld),
+        quad_inv1=np.asarray(linv1),
+        quad_inv2=np.asarray(linv2),
+        quad_area=np.asarray(larea),
+        center=np.asarray(np.stack(lc).astype(np.float32)),
+        radius=np.asarray(np.array(lr, np.float32)),
     )
 
     tex_kinds = set(int(k) for k in tk)
@@ -501,14 +501,14 @@ def build_scene(
         ti_a[mt_a][:, None].astype(np.float32),
     ], axis=1).astype(np.float32)
 
-    return SceneData(
+    scene = SceneData(
         prims=prim_arrays,
         mats=mats,
         texs=texs,
         lights=light_arrays,
-        background=jnp.asarray(np.array(background, np.float32)),
-        prim_payload=jnp.asarray(prim_payload),
-        mat_payload=jnp.asarray(mat_payload),
+        background=np.asarray(np.array(background, np.float32)),
+        prim_payload=np.asarray(prim_payload),
+        mat_payload=np.asarray(mat_payload),
         n_prims=n,
         n_lights=n_lights,
         has_media=n_media > 0,
@@ -526,3 +526,9 @@ def build_scene(
         has_image=TEX_IMAGE in tex_kinds,
         t_min=float(t_min),
     )
+    # ONE batched host->device transfer for the whole scene pytree: per-leaf
+    # jnp.asarray dispatches cost a tunnel roundtrip each on remote TPU
+    # plugins (~40 leaves dominated round-1's 8s scene "build" time)
+    import jax
+
+    return jax.device_put(scene)

@@ -175,3 +175,10 @@ class SceneData:
     # default minimum hit distance; the reference uses 1e-4 in double
     # precision (src/Lib.hs:76-77), float32 needs more at large scene scale
     t_min: float = struct.field(pytree_node=False, default=1e-3)
+    # strict-quirks estimator: reproduce the reference's ACTUAL code paths
+    # instead of the two documented fixes in ops/scatter.py - the
+    # Unhittable light mixture for no-light scenes (src/Lib.hs:829-836,
+    # 702, 724) and the isotropic cos/pi weighting against the medium's
+    # fixed (1,0,0) normal with an in-sphere (non-unit) direction
+    # (src/Lib.hs:861-878).  CLI: --estimator reference.
+    strict: bool = struct.field(pytree_node=False, default=False)

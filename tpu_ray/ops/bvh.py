@@ -243,7 +243,7 @@ def _one_prim_t(scene: SceneData, pid, ro, rd, rt, u_med, t_min, a, dlen):
 
 
 def intersect_scene_bvh(scene: SceneData, bvh: BVHArrays, ro, rd, rt, key,
-                        t_max=INF) -> HitRecord:
+                        t_max=INF, lane_ids=None) -> HitRecord:
     """Closest hit via lockstep stack-based BVH traversal."""
     R = ro.shape[0]
     t_min = jnp.float32(scene.t_min)
@@ -251,9 +251,14 @@ def intersect_scene_bvh(scene: SceneData, bvh: BVHArrays, ro, rd, rt, key,
     dlen = jnp.sqrt(a)
     inv_d = 1.0 / rd
     lanes = jnp.arange(R)
-    u_med = (
-        jax.random.uniform(key, (R, scene.n_media)) if scene.has_media else None
-    )
+    if scene.has_media:
+        from ..core import rng as rng_mod
+
+        if lane_ids is None:
+            lane_ids = jnp.arange(R, dtype=jnp.uint32)
+        u_med = rng_mod.lane_uniforms(key, lane_ids, scene.n_media)
+    else:
+        u_med = None
 
     class T(tuple):
         pass

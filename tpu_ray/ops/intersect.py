@@ -172,11 +172,12 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
 
 
 def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
-                    engine: str = "xla") -> HitRecord:
+                    engine: str = "xla", lane_ids=None) -> HitRecord:
     """Closest hit of each ray against the whole scene.
 
     ``ro``/``rd``: (R, 3); ``rt``: (R,) ray times; ``key`` feeds the medium
-    free-flight sampling (one uniform per ray and medium).
+    free-flight sampling (one uniform per ray and medium, keyed by
+    ``lane_ids`` so the draw is independent of lane position).
     ``engine="pallas"`` runs the solid-primitive sweep as a fused Pallas
     kernel (media keep the XLA path and are min-combined).
     """
@@ -187,9 +188,14 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
     best_t = jnp.full((R,), INF)
     best_i = jnp.zeros((R,), jnp.int32)
     # one free-flight uniform per (ray, medium) for the whole scene
-    u_med = (
-        jax.random.uniform(key, (R, scene.n_media)) if scene.has_media else None
-    )
+    if scene.has_media:
+        from ..core import rng as rng_mod
+
+        if lane_ids is None:
+            lane_ids = jnp.arange(R, dtype=jnp.uint32)
+        u_med = rng_mod.lane_uniforms(key, lane_ids, scene.n_media)
+    else:
+        u_med = None
     if engine == "pallas" and scene.n_solid > 0:
         from .intersect_pallas import intersect_solids_pallas
 

@@ -50,7 +50,8 @@ class ScatterResult:
     scattered: jnp.ndarray  # (R,) bool; False -> path ends (emissive hit)
 
 
-def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
+def scatter(scene: SceneData, key, rd, rec: HitRecord,
+            lane_ids=None) -> ScatterResult:
     # one packed payload gather per lane; layout in models/compile.py
     mp = scene.mat_payload[rec.mat]  # (R, 16)
     mkind = mp[:, 0].astype(jnp.int32)
@@ -63,10 +64,13 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
     n = rec.normal
     unit_d = vec.normalize(rd)
     R = rd.shape[0]
-    # one threefry block for all of this bounce's draws:
+    # this bounce's draws, keyed per lane id (position-independent - see
+    # rng.lane_uniforms):
     # 0 coin | 1 pick | 2:4 quad uv | 4:6 cone | 6:8 cosine | 8:10 fuzz
-    # | 10 reflect | 11:13 isotropic
-    u = jax.random.uniform(key, (R, 13))
+    # | 10 reflect | 11:13 isotropic | 13 in-sphere radius (strict mode)
+    if lane_ids is None:
+        lane_ids = jnp.arange(R, dtype=jnp.uint32)
+    u = rng.lane_uniforms(key, lane_ids, 14)
 
     # --- emission: DiffuseLight, back-face only (src/Lib.hs:880-884) ---
     emitted = jnp.where(
@@ -84,6 +88,19 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
         # scatteringPdf == the cosine density here (src/Lib.hs:874-878),
         # so the MIS weight is cos_pdf / pdf_val
         w_lam = att * jnp.where(pdf_val > 0.0, cos_pdf / jnp.maximum(pdf_val, 1e-12), 0.0)[:, None]
+    elif scene.strict:
+        # strict-quirks: the reference still builds the mixture with an
+        # ``Unhittable`` light list - half the draws go to the fixed
+        # direction (1,0,0) (htblRandom, src/Lib.hs:724) whose light
+        # density is 0 (src/Lib.hs:702), so pdfVal = 0.5*cosinePdf and the
+        # weight algebra collapses to 2*att when the direction is above
+        # the surface; below it the reference produces a 0/0 = NaN sample
+        # that its own tone map floors to black - reproduced as weight 0.
+        one_x = jnp.broadcast_to(
+            jnp.array([1.0, 0.0, 0.0], att.dtype), cos_dir.shape
+        )
+        dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, one_x, cos_dir))
+        w_lam = att * jnp.where(vec.dot(dir_lam, n) > 0.0, 2.0, 0.0)[:, None]
     else:
         dir_lam = vec.normalize(cos_dir)
         w_lam = att
@@ -108,8 +125,20 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord) -> ScatterResult:
     w_diel = jnp.ones_like(att)
 
     # --- Isotropic (src/Lib.hs:861-865; corrected phase function) ---
-    dir_iso = rng.unit_vector_from(u[:, 11:13])
-    w_iso = att
+    if scene.strict:
+        # strict-quirks: randomInUnitSphereM draws a NON-unit vector
+        # uniform in the ball (src/Lib.hs:1160-1176) and the integrator
+        # weighs it by the Lambertian scatteringPdf against the medium's
+        # fixed (1,0,0) hit normal with pdfVal = 1 (src/Lib.hs:861-878):
+        # weight = att * max(0, dot(n, raw_dir)) / pi.
+        # (radius floored away from 0: a zero-length direction would make
+        # the next intersect degenerate; the 1e-6 ball is ~1e-18 of the mass)
+        dir_iso = rng.unit_vector_from(u[:, 11:13]) \
+            * jnp.cbrt(jnp.maximum(u[:, 13], 1e-6))[:, None]
+        w_iso = att * (jnp.maximum(vec.dot(rec.normal, dir_iso), 0.0) * INV_PI)[:, None]
+    else:
+        dir_iso = rng.unit_vector_from(u[:, 11:13])
+        w_iso = att
 
     direction = vec.where3(mkind == MAT_LAMBERTIAN, dir_lam, dir_metal)
     direction = vec.where3(mkind == MAT_DIELECTRIC, dir_diel, direction)

@@ -17,6 +17,7 @@ stdout - SURVEY.md section 5).
 """
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional
 
@@ -32,6 +33,13 @@ from .models.scene_data import SceneData
 # scenes (see plan_pool / the band-tiling logic in render)
 XLA_BIG_SCENE_LANES = 160_000
 PALLAS_BIG_SCENE_LANES = 160_000
+# auto-checkpoint renders of at least this many waves so a worker crash
+# loses at most one checkpoint interval (the reference's streamed rows give
+# it the same property for free - app/Main.hs:62)
+AUTO_CHECKPOINT_WAVES = 8
+# bump whenever estimator/RNG semantics change: invalidates old checkpoints
+# (a resumed accumulator must have been produced by identical code)
+SEMANTICS_VERSION = 2
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
@@ -87,6 +95,32 @@ def plan_pool(scene, width: int, height: int, spp: int,
     return k_pool, s_wave, s_total // s_wave
 
 
+def clear_auto_checkpoints() -> None:
+    """Delete auto checkpoints (bench uses this so every timed attempt
+    measures a FULL render instead of resuming a crashed one)."""
+    import glob
+
+    d = os.path.join(os.path.expanduser("~"), ".cache", "tpu_ray", "checkpoints")
+    for f in glob.glob(os.path.join(d, "auto-*.npz")):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+
+
+def _scene_fingerprint(scene: SceneData, camera: Camera) -> str:
+    """Short content hash of the scene payload + camera parameters."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in (scene.prim_payload, scene.mat_payload):
+        h.update(np.asarray(a).tobytes())
+    for leaf in jax.tree.leaves(camera):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(np.float32(scene.background).tobytes())
+    return h.hexdigest()[:12]
+
+
 def _pixel_grid(width: int, height: int, k: int, row0: int = 0,
                 rows: int | None = None):
     """Flattened (k, rows, W) pixel coordinate fractions for image rows
@@ -102,6 +136,23 @@ def _pixel_grid(width: int, height: int, k: int, row0: int = 0,
         jnp.arange(width, dtype=jnp.float32)[None, None, :], (k, rows, width)
     ).reshape(-1) / width
     return xs, ys
+
+
+def _slot_ids(width: int, height: int, k: int, row0: int = 0,
+              rows: int | None = None):
+    """GLOBAL slot ids k*(H*W) + image_row*W + col for the band's lanes.
+
+    All pool randomness is keyed on these (integrator.trace_pool), so a
+    band renders exactly the rows it would produce inside a full-frame
+    pool - band-tiled, meshed and compacted renders are bit-identical.
+    """
+    rows = height if rows is None else rows
+    return (
+        jnp.arange(k, dtype=jnp.uint32)[:, None, None] * jnp.uint32(width * height)
+        + jnp.arange(row0, row0 + rows, dtype=jnp.uint32)[None, :, None]
+        * jnp.uint32(width)
+        + jnp.arange(width, dtype=jnp.uint32)[None, None, :]
+    ).reshape(-1)
 
 
 from functools import partial
@@ -123,6 +174,7 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
     rad, _ = trace_pool(
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
         n_samples, sample0, max_depth, cam_salt, bvh=bvh, engine=engine,
+        slot_ids=_slot_ids(width, height, k_pool, row0, rows),
     )
     return accum + rad.reshape(k_pool, rows, width, 3).sum(axis=0)
 
@@ -135,12 +187,13 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
     k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
     rows = height if rows is None else rows
     xs, ys = _pixel_grid(width, height, k_pool, row0, rows)
+    sids = _slot_ids(width, height, k_pool, row0, rows)
 
     def wave(key, sample0):
         accum, _ = trace_pool(
             scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
             samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
-            engine=engine,
+            engine=engine, slot_ids=sids,
         )
         return accum.reshape(k_pool, rows, width, 3).sum(axis=0)
 
@@ -203,8 +256,9 @@ def render(
     cap = XLA_BIG_SCENE_LANES if (engine == "xla" and scene.n_prims > 512) else (
         PALLAS_BIG_SCENE_LANES if (engine == "pallas" and scene.n_prims > 512)
         else None)
-    if (cap is not None and width * rows > cap and mesh is None
-            and mode == "pool"):
+    if cap is not None and width * rows > cap and mode == "pool":
+        # bands compose with meshes: each band is rendered (sharded or not)
+        # with GLOBAL slot ids, so banded == unbanded bit-for-bit
         band_h = max(1, cap // width)
         bands = []
         for row0 in range(0, height, band_h):
@@ -214,7 +268,8 @@ def render(
                 scene, camera, width, height, spp,
                 max_depth=max_depth, seed=seed, rays_per_wave=rays_per_wave,
                 samples_per_wave=samples_per_wave, mode=mode, bvh=bvh,
-                engine=engine, progress=progress, checkpoint_path=ck,
+                engine=engine, mesh=mesh, progress=progress,
+                checkpoint_path=ck,
                 checkpoint_every=checkpoint_every, _row0=row0, _rows=bh,
             ))
         return np.concatenate(bands, axis=0)
@@ -269,9 +324,29 @@ def render(
     accum = jnp.zeros((rows, width, 3), jnp.float32)
     start_wave = 0
 
-    # the accumulator must only be resumed into an identical render
-    config_tag = (f"{scene.n_prims}|{width}x{height}|{spp}|{max_depth}|{seed}"
-                  f"|{mode}|{engine}|{wave_spp}|{n_waves}|{_row0}:{rows}")
+    # the accumulator must only be resumed into an identical render: the tag
+    # fingerprints the scene/camera CONTENTS (not just prim count - editing
+    # a material must invalidate old checkpoints) plus every render param
+    auto_ckpt = (checkpoint_path is None and checkpoint_every == 0
+                 and n_waves >= AUTO_CHECKPOINT_WAVES)
+    config_tag = None
+    if checkpoint_path or auto_ckpt:
+        config_tag = (f"v{SEMANTICS_VERSION}.s{int(scene.strict)}"
+                      f"|{_scene_fingerprint(scene, camera)}|{scene.n_prims}"
+                      f"|{width}x{height}|{spp}|{max_depth}|{seed}"
+                      f"|{mode}|{engine}|{wave_spp}|{n_waves}|{_row0}:{rows}")
+    if auto_ckpt:
+        # long renders checkpoint by default; the file is keyed by the
+        # config tag (auto-resumed on an identical re-run after a crash)
+        # and removed on completion
+        import hashlib
+
+        d = os.path.join(os.path.expanduser("~"), ".cache", "tpu_ray",
+                         "checkpoints")
+        os.makedirs(d, exist_ok=True)
+        tag12 = hashlib.sha1(config_tag.encode()).hexdigest()[:12]
+        checkpoint_path = os.path.join(d, f"auto-{tag12}.npz")
+        checkpoint_every = max(1, n_waves // 8)
     if checkpoint_path and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"  # np.savez appends it on write
 
@@ -294,6 +369,11 @@ def render(
 
     from .utils.profiling import WaveTimer
 
+    # big-scene waves are seconds of device time each; fetching a few bytes
+    # per wave keeps the dispatch queue at depth 1 - an unthrottled queue of
+    # 25 waves (minutes of device work) is what crashes the remote worker
+    throttle = scene.n_prims > 512
+
     timer = WaveTimer(enabled=progress)
     for w in range(start_wave, n_waves):
         if progress:
@@ -306,7 +386,14 @@ def render(
                 checkpoint_path[:-4], accum=np.asarray(accum), waves_done=w + 1,
                 config=config_tag,
             )
+        elif throttle:
+            np.asarray(accum[0, 0])  # device->host fetch = real completion
         timer.stop()
     if progress:
         print(f"\n{timer.summary()}", file=sys.stderr)
+    if auto_ckpt:
+        try:
+            os.remove(checkpoint_path)
+        except OSError:
+            pass
     return np.asarray(accum) / spp

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="solid-primitive intersect engine")
     p.add_argument("--mode", default="pool", choices=("pool", "wave"),
                    help="integrator: regenerating ray pool (fast) or plain wavefront")
+    p.add_argument("--estimator", default="fixed", choices=("fixed", "reference"),
+                   help="'reference' reproduces the reference's exact estimator "
+                        "quirks (Unhittable light mixture for no-light scenes, "
+                        "isotropic cos/pi medium weighting) instead of the "
+                        "documented fixes in ops/scatter.py")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -56,6 +61,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..core import film
     from ..models.scenes import SCENES
@@ -77,6 +86,8 @@ def main(argv=None) -> int:
     spec = SCENES[args.scene]
     earth = load_earth_image(args.earthmap)
     scene = spec.build(seed=args.seed, earth=earth)
+    if args.estimator == "reference":
+        scene = scene.replace(strict=True)
     camera = spec.camera(args.width, args.height)
 
     mesh = None
