@@ -85,6 +85,41 @@ def test_bvh_render_matches_brute_force():
     np.testing.assert_allclose(img_a, img_b, rtol=1e-4, atol=1e-6)
 
 
+def test_chunk_culling_exact_on_big_scene():
+    """>512 prims exercises the scanned sweep WITH chunk-AABB culling
+    (ops/intersect.py); it must agree exactly with BVH traversal, an
+    independent implementation that never culls chunks."""
+    r = np.random.default_rng(21)
+    objs = [
+        ob.Sphere(tuple(r.uniform(-30, 30, 3)), r.uniform(0.2, 1.0),
+                  ob.Lambertian((1, 1, 1)))
+        for _ in range(600)
+    ]
+    for plane in ("xy", "xz", "yz"):
+        for _ in range(20):
+            a = np.sort(r.uniform(-30, 30, 2)); b = np.sort(r.uniform(-30, 30, 2))
+            objs.append(ob.Rect(plane, a[0], a[1], b[0], b[1],
+                                r.uniform(-30, 30), ob.Lambertian((1, 1, 1))))
+    scene = build_scene(objs)
+    assert scene.n_prims > 512
+    bvh = build_bvh(scene)
+    ro, rd, rt = _rays(22, 1024)
+    ro = ro * 3.0  # origins inside and outside the scene bounds
+    rec_a = intersect_scene(scene, ro, rd, rt, KEY)
+    rec_b = intersect_scene_bvh(scene, bvh, ro, rd, rt, KEY)
+    np.testing.assert_array_equal(np.asarray(rec_a.hit), np.asarray(rec_b.hit))
+    h = np.asarray(rec_a.hit)
+    np.testing.assert_array_equal(
+        np.asarray(rec_a.prim)[h], np.asarray(rec_b.prim)[h]
+    )
+    # grazing sphere hits (disc ~ 0) amplify f32 fma-contraction differences
+    # between the two compiled programs; hit/prim equality above is the
+    # culling-exactness assertion, t only needs fp-level agreement
+    np.testing.assert_allclose(
+        np.asarray(rec_a.t)[h], np.asarray(rec_b.t)[h], rtol=5e-3
+    )
+
+
 def test_bvh_book1_scene():
     scene = SCENES["book1-final"].build(seed=7)
     bvh = build_bvh(scene)

@@ -337,6 +337,22 @@ def test_band_tiling_composes_with_mesh(monkeypatch):
     np.testing.assert_allclose(img_banded_mesh, img_plain, rtol=1e-5, atol=1e-6)
 
 
+def test_next_week_final_banded_mesh(monkeypatch):
+    """The round-1 gap: a >512-prim scene above the lane cap rendered over a
+    mesh must band-tile (the cap holds per device) and stay finite."""
+    import tpu_ray.renderer as R
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene = SCENES["next-week-final"].build(seed=1024, earth=None)
+    cam = SCENES["next-week-final"].camera(16, 12)
+    monkeypatch.setattr(R, "XLA_BIG_SCENE_LANES", 64)  # force banding at 16x12
+    img = render(scene, cam, 16, 12, spp=2, max_depth=3, seed=1,
+                 rays_per_wave=16 * 12, samples_per_wave=1, mesh=make_mesh(8))
+    assert img.shape == (12, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
+
+
 def test_sharded_cornell_with_lights():
     """MIS light sampling under shard_map + psum matches single device."""
     from tpu_ray.parallel.mesh import make_mesh

@@ -69,6 +69,27 @@ def main():
     t_fold = bench(fold_all, key, seeds)
     print("per-lane fold+unif5 ", ms(t_fold))
 
+    from tpu_ray.core import rng as rng_mod
+
+    t_lane = bench(
+        jax.jit(lambda k, s: rng_mod.lane_uniforms(k, s, 14)), key, seeds
+    )
+    print("lane_uniforms (R,14)", ms(t_lane))
+
+    gather_p = jax.jit(lambda i: scene.prim_payload[i])
+    idx = jnp.arange(R, dtype=jnp.int32) % scene.n_prims
+    t_gp = bench(gather_p, idx)
+    print("prim_payload gather ", ms(t_gp), f"(R,{scene.prim_payload.shape[1]})")
+
+    from tpu_ray.ops.intersect import _hit_record
+
+    t_best = jnp.abs(ro[:, 2]) + 1.0
+    t_hr = bench(
+        jax.jit(lambda ro, rd, rt, t, i: _hit_record(scene, ro, rd, rt, t, i)),
+        ro, rd, rt, t_best, idx,
+    )
+    print("hit_record          ", ms(t_hr))
+
     isect = jax.jit(lambda ro, rd, rt, k: intersect_scene(scene, ro, rd, rt, k))
     rec = isect(ro, rd, rt, key)
     t_isect = bench(isect, ro, rd, rt, key)

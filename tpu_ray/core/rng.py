@@ -74,7 +74,7 @@ def hash_uniforms2(a: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def lane_uniforms(key, lane_ids: jnp.ndarray, n: int) -> jnp.ndarray:
-    """n threefry U[0,1) floats per lane, keyed by *lane id*: (R,) -> (R, n).
+    """n U[0,1) floats per lane, keyed by *lane id*: (R,) -> (R, n).
 
     Unlike ``jax.random.uniform(key, (R, n))`` - whose values depend on a
     lane's position in the array - each row here is a pure function of
@@ -82,9 +82,18 @@ def lane_uniforms(key, lane_ids: jnp.ndarray, n: int) -> jnp.ndarray:
     same path-space randomness no matter how the pool is banded, compacted,
     padded or sharded; tests/test_render.py relies on this for exact
     banded == unbanded == meshed equality.
+
+    The per-draw generator is the murmur3 counter hash (3 full-avalanche
+    fmix rounds per output), not threefry (~100+ ALU ops per 2 outputs):
+    this runs once per lane per bounce in the integrator's hot loop, and
+    the distribution/chi-square tests in tests/test_core.py and the
+    estimator tests in tests/test_shading.py hold it to the same quality
+    bar.  The two threefry key words seed the stream, so draws stay
+    decorrelated across (wave, bounce, purpose) keys.
     """
-    ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(lane_ids)
-    return jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(ks)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    base = _murmur3_fmix(lane_ids.astype(jnp.uint32) + kd[0]) ^ kd[1]
+    return hash_uniforms(base, n)
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0) -> jnp.ndarray:

@@ -292,6 +292,45 @@ def _one_hot(axis: int) -> np.ndarray:
     return v
 
 
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of each value 2 apart (Morton interleave)."""
+    v = v.astype(np.uint32) & np.uint32(0x3FF)
+    v = (v | (v << 16)) & np.uint32(0x030000FF)
+    v = (v | (v << 8)) & np.uint32(0x0300F00F)
+    v = (v | (v << 4)) & np.uint32(0x030C30C3)
+    v = (v | (v << 2)) & np.uint32(0x09249249)
+    return v
+
+
+def _morton_codes(centroids: np.ndarray) -> np.ndarray:
+    """30-bit Morton code per centroid (N, 3) -> (N,) uint32.
+
+    Spatially-close primitives get close codes, so the intersector's
+    128/512-prim blocks stay spatially coherent and per-block AABB culling
+    (ops/intersect.py, ops/intersect_pallas.py) can skip most of the scene
+    per ray tile - the TPU-native stand-in for the reference's per-ray BVH
+    descent (src/Lib.hs:970-988).
+    """
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centroids - lo) / span) * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        (_part1by2(q[:, 2]) << 2)
+        | (_part1by2(q[:, 1]) << 1)
+        | _part1by2(q[:, 0])
+    )
+
+
+def _prim_centroid(p: "_Prim") -> np.ndarray:
+    """World-space AABB centroid (motion: union over t in [0, 1])."""
+    if p.kind == PRIM_QUAD:
+        return p.p0 + 0.5 * (p.e1 + p.e2)
+    # spheres (all reference scenes move within t in [0, 1])
+    c0 = p.center + p.velocity * (0.0 - p.time0)
+    c1 = p.center + p.velocity * (1.0 - p.time0)
+    return 0.5 * (c0 + c1)
+
+
 def _quad_derived(p0, e1, e2, n):
     """Derived quad quantities: plane offset, uv projectors, area."""
     d = np.sum(p0 * n, -1)
@@ -323,8 +362,27 @@ def build_scene(
 
     # order: spheres, then quads, then media.  Homogeneous regions let the
     # intersect sweep run only the math each chunk needs, and the Pallas
-    # kernel covers the contiguous solid prefix.
-    prims.sort(key=lambda pr: (pr.kind >= PRIM_MEDIUM_SPHERE, pr.kind))
+    # kernel covers the contiguous solid prefix.  Within each solid kind,
+    # order by Morton code so prim blocks are spatially coherent (enables
+    # block-AABB culling); media keep insertion order (their free-flight
+    # uniforms are drawn per medium slot).
+    solid_centroids = np.array(
+        [_prim_centroid(p) for p in prims if p.kind < PRIM_MEDIUM_SPHERE]
+    )
+    if len(solid_centroids):
+        codes = iter(_morton_codes(solid_centroids))
+        morton = [
+            int(next(codes)) if p.kind < PRIM_MEDIUM_SPHERE else 0
+            for p in prims
+        ]
+    else:
+        morton = [0] * len(prims)
+    order = sorted(
+        range(len(prims)),
+        key=lambda i: (prims[i].kind >= PRIM_MEDIUM_SPHERE, prims[i].kind,
+                       morton[i]),
+    )
+    prims = [prims[i] for i in order]
     n = len(prims)
     kind = np.array([p.kind for p in prims], np.int32)
     mat = np.array([p.mat for p in prims], np.int32)

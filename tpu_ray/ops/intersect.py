@@ -205,6 +205,28 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
     else:
         start0 = 0
 
+    inv_rd = 1.0 / rd
+
+    def _chunk_aabb(p, do):
+        """Conservative chunk AABB (motion union over t in [0,1]); padded
+        rows (radius-0 kind-0 spheres) are excluded.  Returns (lo, hi)."""
+        if do.get("do_quads"):
+            valid = p.kind == PRIM_QUAD
+            corners = jnp.stack([
+                p.quad_p0, p.quad_p0 + p.quad_e1, p.quad_p0 + p.quad_e2,
+                p.quad_p0 + p.quad_e1 + p.quad_e2,
+            ])  # (4, C, 3)
+            lo = jnp.where(valid[:, None], corners.min(0), INF).min(0)
+            hi = jnp.where(valid[:, None], corners.max(0), -INF).max(0)
+        else:
+            valid = p.radius > 0.0
+            c0 = p.center + p.velocity * (0.0 - p.time0)[:, None]
+            c1 = p.center + p.velocity * (1.0 - p.time0)[:, None]
+            r = p.radius[:, None]
+            lo = jnp.where(valid[:, None], jnp.minimum(c0, c1) - r, INF).min(0)
+            hi = jnp.where(valid[:, None], jnp.maximum(c0, c1) + r, -INF).max(0)
+        return lo, hi
+
     def sweep(best, lo, hi, **do):
         """Min-sweep prim rows [lo, hi) with kind-specialized chunk math."""
         best_t, best_i = best
@@ -234,15 +256,33 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
 
         def body(carry, p):
             bt, bi, base = carry
-            t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max, **do)
-            ct = jnp.min(t, axis=1)
-            cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + base
-            closer = ct < bt
-            return (
-                jnp.where(closer, ct, bt),
-                jnp.where(closer, cidx, bi),
-                base + CHUNK,
-            ), None
+
+            def run(bt, bi):
+                t = _chunk_t(scene, p, ro, rd, rt, u_med, t_min, t_max, **do)
+                ct = jnp.min(t, axis=1)
+                cidx = jnp.argmin(t, axis=1).astype(jnp.int32) + base
+                closer = ct < bt
+                return jnp.where(closer, ct, bt), jnp.where(closer, cidx, bi)
+
+            if do.get("do_media"):
+                bt, bi = run(bt, bi)  # media chunks are tiny; never culled
+            else:
+                # chunk-AABB culling: prims are Morton-ordered (compile.py)
+                # so chunks are spatially tight; any hit point inside the
+                # chunk lies within [tn, tf] of its slab, so a chunk whose
+                # entry tn can't beat a ray's best (with a relative margin
+                # for f32 slab-vs-primitive rounding) is skipped exactly.
+                clo, chi = _chunk_aabb(p, do)
+                t0 = (clo[None] - ro) * inv_rd
+                t1 = (chi[None] - ro) * inv_rd
+                tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+                tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+                slack = 1e-4 * (1.0 + jnp.abs(tn))
+                needed = jnp.any(
+                    (tn - slack <= jnp.minimum(tf, bt)) & (tf > t_min)
+                )
+                bt, bi = jax.lax.cond(needed, run, lambda a, b: (a, b), bt, bi)
+            return (bt, bi, base + CHUNK), None
 
         (best_t, best_i, _), _ = jax.lax.scan(
             body, (best_t, best_i, jnp.int32(lo)), stacked

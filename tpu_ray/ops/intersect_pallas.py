@@ -41,18 +41,22 @@ def _kernel(ro_ref, rd_ref, rt_ref,
             t0_ref, r2_ref,
             qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
             u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
+            bbox_ref,
             out_t_ref, out_i_ref,
-            *, block_kinds, t_min: float, has_moving: bool):
+            bt_ref, bi_ref,
+            *, block_kinds, t_min: float, has_moving: bool, cull: bool):
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]  # (T,1)
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
     a = rdx * rdx + rdy * rdy + rdz * rdz        # (T,1)
     inv_a = 1.0 / a
     rt = rt_ref[:, 0:1]
+    if cull:
+        ix = 1.0 / rdx; iy = 1.0 / rdy; iz = 1.0 / rdz
 
-    best_t = jnp.full((TILE_R, 1), BIG)
-    best_i = jnp.zeros((TILE_R, 1), jnp.int32)
+    bt_ref[:] = jnp.full((TILE_R, 1), BIG)
+    bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
 
-    for pb, (sph_b, quad_b) in enumerate(block_kinds):
+    def block_body(pb, sph_b, quad_b):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
         kind = kind_ref[0, s][None, :]           # (1,P)
         t = None
@@ -96,16 +100,49 @@ def _kernel(ro_ref, rd_ref, rt_ref,
             tq = jnp.where((kind == PRIM_QUAD) & okq, tq, BIG)
             t = tq if t is None else jnp.where(kind == PRIM_QUAD, tq, t)
         if t is None:  # pad-only block
-            continue
+            return
 
         bt = jnp.min(t, axis=1, keepdims=True)             # (T,1)
         bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
-        closer = bt < best_t
-        best_t = jnp.where(closer, bt, best_t)
-        best_i = jnp.where(closer, bi, best_i)
+        prev_t = bt_ref[:]
+        closer = bt < prev_t
+        bt_ref[:] = jnp.where(closer, bt, prev_t)
+        bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
 
-    out_t_ref[:, 0] = best_t[:, 0]
-    out_i_ref[:, 0] = best_i[:, 0]
+    for pb, (sph_b, quad_b) in enumerate(block_kinds):
+        if not (sph_b or quad_b):
+            continue
+        if not cull:
+            block_body(pb, sph_b, quad_b)
+            continue
+        # block-AABB cull (Morton-ordered prims keep blocks tight): run the
+        # 128-prim math only when some ray in the tile enters the block's
+        # box closer than its current best (slack covers f32 slab-vs-
+        # primitive rounding; prim hits lie inside the box, so skipping is
+        # exact - cf. the chunk cull in ops/intersect.py)
+        tx0 = (bbox_ref[0, 6 * pb + 0] - rox) * ix
+        tx1 = (bbox_ref[0, 6 * pb + 3] - rox) * ix
+        ty0 = (bbox_ref[0, 6 * pb + 1] - roy) * iy
+        ty1 = (bbox_ref[0, 6 * pb + 4] - roy) * iy
+        tz0 = (bbox_ref[0, 6 * pb + 2] - roz) * iz
+        tz1 = (bbox_ref[0, 6 * pb + 5] - roz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1))
+        slack = 1e-4 * (1.0 + jnp.abs(tn))
+        needed = jnp.any(
+            (tn - slack <= jnp.minimum(tf, bt_ref[:])) & (tf > t_min)
+        )
+
+        @pl.when(needed)
+        def _():
+            block_body(pb, sph_b, quad_b)
+
+    out_t_ref[:, 0] = bt_ref[:, 0]
+    out_i_ref[:, 0] = bi_ref[:, 0]
 
 
 def _pack_solids(scene: SceneData):
@@ -136,11 +173,50 @@ def _pack_solids(scene: SceneData):
     return fields, P
 
 
+def _block_bounds(scene: SceneData, P: int) -> jnp.ndarray:
+    """(1, 6*nblk) per-PBLK-block AABBs [lox loy loz hix hiy hiz]*nblk.
+
+    Conservative over shutter t in [0, 1] for moving spheres (every
+    reference camera uses t0=0, t1=1 - Scenes.hs cameras); padded rows are
+    excluded.  O(N) jnp math - fused into the wave program, negligible next
+    to the O(R*N) sweep.
+    """
+    p = scene.prims
+    n = scene.n_solid
+    pad = P - n
+
+    def padto(a, fill):
+        return jnp.pad(a[:n], [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    kind = padto(p.kind.astype(jnp.int32), -1)
+    c0 = p.center[:n] + p.velocity[:n] * (0.0 - p.time0[:n])[:, None]
+    c1 = p.center[:n] + p.velocity[:n] * (1.0 - p.time0[:n])[:, None]
+    r = p.radius[:n][:, None]
+    lo_s = padto(jnp.minimum(c0, c1) - r, BIG)
+    hi_s = padto(jnp.maximum(c0, c1) + r, -BIG)
+    q0 = p.quad_p0[:n]
+    corners = jnp.stack([q0, q0 + p.quad_e1[:n], q0 + p.quad_e2[:n],
+                         q0 + p.quad_e1[:n] + p.quad_e2[:n]])
+    lo_q = padto(corners.min(0), BIG)
+    hi_q = padto(corners.max(0), -BIG)
+    is_q = (kind == PRIM_QUAD)[:, None]
+    is_s = (kind == PRIM_SPHERE)[:, None]
+    lo = jnp.where(is_q, lo_q, jnp.where(is_s, lo_s, BIG))
+    hi = jnp.where(is_q, hi_q, jnp.where(is_s, hi_s, -BIG))
+    lo = lo.reshape(-1, PBLK, 3).min(axis=1)   # (nblk, 3)
+    hi = hi.reshape(-1, PBLK, 3).max(axis=1)
+    return jnp.concatenate([lo, hi], axis=1).reshape(1, -1)
+
+
 def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            cull: bool | None = None):
     """(best_t, best_i) of each ray against the solid prims, via Pallas.
 
     ``interpret`` defaults to True on CPU (tests) and False on TPU.
+    ``cull`` (default: scenes with >2 prim blocks) skips whole 128-prim
+    blocks per ray tile via block-AABB slab tests.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -153,6 +229,8 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     Rp = R + pad_r
 
     fields, P = _pack_solids(scene)
+    if cull is None:
+        cull = P // PBLK > 2
     grid = (Rp // TILE_R,)
     # per-block kind flags: prims are sorted spheres | quads (compile.py),
     # so each 128-block runs only the math it needs
@@ -172,14 +250,18 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
         block_kinds=block_kinds,
         t_min=float(scene.t_min),
         has_moving=scene.has_moving,
+        cull=cull,
     )
     ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
+    bbox_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # per-block scalars
+    bbox = _block_bounds(scene, P)
     out_t, out_i = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields),
+        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields)
+        + [bbox_spec],
         out_specs=(
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -188,7 +270,11 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
             jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+        ],
         interpret=interpret,
-    )(ro, rd, rt[:, None], *fields)
+    )(ro, rd, rt[:, None], *fields, bbox)
     best_t = jnp.where(out_t[:R, 0] >= BIG, jnp.inf, out_t[:R, 0])
     return best_t, out_i[:R, 0]

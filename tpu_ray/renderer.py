@@ -39,7 +39,7 @@ PALLAS_BIG_SCENE_LANES = 160_000
 AUTO_CHECKPOINT_WAVES = 8
 # bump whenever estimator/RNG semantics change: invalidates old checkpoints
 # (a resumed accumulator must have been produced by identical code)
-SEMANTICS_VERSION = 2
+SEMANTICS_VERSION = 3
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
@@ -90,7 +90,12 @@ def plan_pool(scene, width: int, height: int, spp: int,
     k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
     s_total = spp // k_pool
     lanes = width * height * k_pool
-    s_budget = max(1, int(2e13 / (lanes * max(scene.n_prims, 1) * 8)))
+    # per-wave device-time budget: big scenes get ~2s dispatches (the remote
+    # worker crashes under multi-second sustained executions; empirically a
+    # 160k-lane x 3409-prim x 4-sample wave ~9s dies, ~2s survives), small
+    # scenes a generous cap that never binds at reference sizes
+    flops_budget = 2.5e12 if scene.n_prims > 512 else 2e13
+    s_budget = max(1, int(flops_budget / (lanes * max(scene.n_prims, 1) * 8)))
     s_wave = _largest_divisor_leq(s_total, min(samples_per_wave, s_budget))
     return k_pool, s_wave, s_total // s_wave
 

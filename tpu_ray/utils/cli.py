@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output path (.png or .ppm); '-' = PPM on stdout")
     p.add_argument("--earthmap", default=None, help="path to earth texture image")
     p.add_argument("--rays-per-wave", type=int, default=1 << 20)
+    p.add_argument("--samples-per-wave", type=int, default=64,
+                   help="max samples per slot per wave (smaller = finer "
+                        "progress/checkpoint granularity)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard sample waves over N devices (0 = single device)")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
@@ -103,7 +106,8 @@ def main(argv=None) -> int:
         img = render(
             scene, camera, args.width, args.height, args.spp,
             max_depth=args.max_depth, seed=args.seed,
-            rays_per_wave=args.rays_per_wave, mesh=mesh, progress=True,
+            rays_per_wave=args.rays_per_wave,
+            samples_per_wave=args.samples_per_wave, mesh=mesh, progress=True,
             engine=args.engine, bvh=args.bvh, mode=args.mode,
             checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
         )
