@@ -12,8 +12,9 @@ Replaces the reference's scene-construction path (``makeBVH`` over a
 * ``ConstantMedium`` boundaries reduce to a (possibly transformed) sphere or
   box - exactly the shapes the reference scenes use.
 * Materials and textures are deduplicated into small tables; Perlin
-  instances get their own gradient/permutation rows (reference:
-  src/Lib.hs:424-439); images are stacked into a padded atlas.
+  instances get a per-instance hash salt (the TPU-native stand-in for the
+  reference's shuffled gradient/permutation tables, src/Lib.hs:424-439);
+  images are stacked into a padded atlas.
 
 The "BVH" of the reference is an acceleration concern, not a semantic one:
 the wavefront intersector tests all primitives in lockstep (optionally in
@@ -53,7 +54,6 @@ from .scene_data import (
     TextureArrays,
 )
 
-PERLIN_POINTS = 256
 
 # plane -> (i_axis, j_axis, k_axis); reference rect orientations
 # (src/Lib.hs:1005-1012)
@@ -82,7 +82,7 @@ class _Tables:
         self._mat_index: dict = {}
         self.tex_rows: List[tuple] = []
         self._tex_index: dict = {}
-        self.perlins: List[tuple] = []  # (grad (256,3), perm (3,256))
+        self.perlins: List[np.uint32] = []  # per-instance hash salt
         self.images: List[Optional[np.ndarray]] = []
         self._image_index: dict = {}
 
@@ -101,12 +101,14 @@ class _Tables:
             row = (TEX_CHECKER, (0.0, 0.0, 0.0), odd, even, 0.0, 0, 0)
         elif isinstance(tex, ob.Noise):
             pid = len(self.perlins)
-            rng = np.random.default_rng(np.random.SeedSequence([0x9E3779B9, tex.seed]))
-            grad = rng.uniform(-1.0, 1.0, (PERLIN_POINTS, 3)).astype(np.float32)
-            perm = np.stack(
-                [rng.permutation(PERLIN_POINTS) for _ in range(3)]
-            ).astype(np.int32)
-            self.perlins.append((grad, perm))
+            # per-instance stream key for the hash-gradient noise
+            # (ops/textures.py); plays the role of the reference's shuffled
+            # permutation tables (src/Lib.hs:424-439)
+            salt = 0x9E3779B9 ^ (int(tex.seed) & 0xFFFFFFFF)
+            salt ^= salt >> 16
+            salt = (salt * 0x85EBCA6B) & 0xFFFFFFFF
+            salt ^= salt >> 13
+            self.perlins.append(np.uint32(salt))
             row = (TEX_PERLIN, (0.0, 0.0, 0.0), 0, 0, float(tex.scale), pid, 0)
         elif isinstance(tex, ob.ImageTexture):
             if tex.image is None:
@@ -176,8 +178,16 @@ class _Prim:
         self.off = np.zeros(3)
 
 
+_EYE3 = np.eye(3)
+
+
 def _is_identity(rot: np.ndarray, off: np.ndarray) -> bool:
-    return np.allclose(rot, np.eye(3)) and np.allclose(off, 0.0)
+    # exact comparison: transforms are either untouched (identity) or the
+    # product of real rotations/offsets; np.allclose here cost ~0.2s of the
+    # 3409-prim scene build (PERFLOG.md)
+    return rot is _EYE3 or (
+        (rot == _EYE3).all() and not off.any()
+    )
 
 
 def _flatten(
@@ -445,12 +455,8 @@ def build_scene(
         ref_idx=np.asarray(np.array(mr, np.float32)),
     )
     tk, tc, to, te, ts, tp, ti = zip(*tables.tex_rows)
-    if tables.perlins:
-        perlin_grad = np.stack([g for g, _ in tables.perlins])
-        perlin_perm = np.stack([p for _, p in tables.perlins])
-    else:
-        perlin_grad = np.zeros((1, PERLIN_POINTS, 3), np.float32)
-        perlin_perm = np.tile(np.arange(PERLIN_POINTS, dtype=np.int32), (1, 3, 1))
+    perlin_salt = (np.array(tables.perlins, np.uint32)
+                   if tables.perlins else np.zeros(1, np.uint32))
     if tables.images:
         hmax = max(im.shape[0] for im in tables.images)
         wmax = max(im.shape[1] for im in tables.images)
@@ -472,8 +478,7 @@ def build_scene(
         scale=np.asarray(np.array(ts, np.float32)),
         perlin_id=np.asarray(np.array(tp, np.int32)),
         image_id=np.asarray(np.array(ti, np.int32)),
-        perlin_grad=np.asarray(perlin_grad),
-        perlin_perm=np.asarray(perlin_perm),
+        perlin_salt=np.asarray(perlin_salt),
         img_atlas=np.asarray(atlas),
         img_size=np.asarray(sizes),
     )

@@ -100,10 +100,12 @@ class TextureArrays:
     scale: jnp.ndarray      # (T,) perlin scale
     perlin_id: jnp.ndarray  # (T,) index into perlin tables
     image_id: jnp.ndarray   # (T,) index into image atlas
-    # shared perlin tables (reference: src/Lib.hs:421-439), one row per
-    # distinct Perlin texture instance
-    perlin_grad: jnp.ndarray  # (P, 256, 3) gradient vectors in [-1, 1]^3
-    perlin_perm: jnp.ndarray  # (P, 3, 256) int32 permutations (x, y, z)
+    # per-Perlin-instance hash salt.  The reference keys each Perlin at
+    # 256 shuffled table entries (src/Lib.hs:421-439); the TPU build keys
+    # the same random-gradient-per-lattice-corner structure on a counter
+    # hash instead (ops/textures.py), so noise costs ALU, not 224 serial
+    # gathers per marble evaluation (PERFLOG.md round 2)
+    perlin_salt: jnp.ndarray  # (P,) uint32
     # image atlas (all images padded to a common size)
     img_atlas: jnp.ndarray   # (I, Hmax, Wmax, 3) float32 in [0, 1]
     img_size: jnp.ndarray    # (I, 2) int32 (width, height)

@@ -215,8 +215,12 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     """(best_t, best_i) of each ray against the solid prims, via Pallas.
 
     ``interpret`` defaults to True on CPU (tests) and False on TPU.
-    ``cull`` (default: scenes with >2 prim blocks) skips whole 128-prim
-    blocks per ray tile via block-AABB slab tests.
+    ``cull=True`` skips whole 128-prim blocks per ray tile via block-AABB
+    slab tests.  Default OFF: measured on real TPU (PERFLOG.md round 2),
+    a 256-ray tile of bounced (incoherent) rays virtually never agrees to
+    skip a block, so the slab tests cost ~2x the sweep on secondary
+    bounces (30.9 ms vs 16.6 ms at 160k rays x 3409 prims) and even
+    primary camera tiles lose slightly (17.3 vs 16.2 ms).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -230,7 +234,7 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
 
     fields, P = _pack_solids(scene)
     if cull is None:
-        cull = P // PBLK > 2
+        cull = False
     grid = (Rp // TILE_R,)
     # per-block kind flags: prims are sorted spheres | quads (compile.py),
     # so each 128-block runs only the math it needs

@@ -22,38 +22,61 @@ from ..models.scene_data import (
 )
 
 _EPS = 1e-4  # reference epsilon (src/Lib.hs:76-77) used in image clamping
-PERLIN_POINTS = 256
 
 
-def _perlin_noise(scene: SceneData, pid, q):
-    """One octave of gradient noise (reference ``noise``, src/Lib.hs:441-461).
+def _perlin_noise(salt, q):
+    """One octave of hash-gradient noise: random gradient per lattice
+    corner, hermite-smoothed trilinear interpolation of corner dots.
 
-    ``pid``: (R,) perlin-table row per lane; ``q``: (R, 3) pre-scaled point.
+    TPU-native analogue of the reference ``noise`` (src/Lib.hs:441-461):
+    the reference draws its per-corner gradient from a 256-entry table
+    indexed by the xor of three shuffled permutations; here the gradient
+    comes from a full-avalanche counter hash of the lattice coordinates -
+    the same random-gradient-per-corner structure (and the same hermite
+    interpolation, src/Lib.hs:472-476), but pure VPU arithmetic.  The
+    table version cost 7 octaves x 8 corners x 4 = 224 serial gathers per
+    lane per marble evaluation, which made scatter 85% of the wave cost on
+    real TPU hardware (PERFLOG.md round 2).  Aperiodic (the table's mod-256
+    tiling was a size artifact, not a feature).
+
+    ``salt``: (R,) uint32 per-Perlin-instance stream key; ``q``: (R, 3)
+    pre-scaled point.
     """
-    texs = scene.texs
+    from ..core.rng import _murmur3_fmix
+
     ijk = jnp.floor(q)
     uvw = q - ijk
-    ijk = ijk.astype(jnp.int32)
     # hermite smoothing for the interpolation weights (src/Lib.hs:472-476)
     h = uvw * uvw * (3.0 - 2.0 * uvw)
+    # per-axis lattice hashes for both corners (negative coords wrap into
+    # uint32 space consistently)
+    def corners(c, mult):
+        c0 = c.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(mult)
+        return c0, c0 + jnp.uint32(mult)
+
+    hx = corners(ijk[..., 0], 0x8DA6B343)
+    hy = corners(ijk[..., 1], 0xD8163841)
+    hz = corners(ijk[..., 2], 0xCB1AB31F)
     acc = jnp.zeros(q.shape[:-1], q.dtype)
+    to_signed = jnp.float32(2.0 / (1 << 24))
     for di in (0, 1):
+        w0 = h[..., 0] if di else 1.0 - h[..., 0]
+        ox = uvw[..., 0] - di
         for dj in (0, 1):
+            w1 = h[..., 1] if dj else 1.0 - h[..., 1]
+            oy = uvw[..., 1] - dj
             for dk in (0, 1):
-                ix = jnp.mod(ijk[..., 0] + di, PERLIN_POINTS)
-                jx = jnp.mod(ijk[..., 1] + dj, PERLIN_POINTS)
-                kx = jnp.mod(ijk[..., 2] + dk, PERLIN_POINTS)
-                idx = (
-                    texs.perlin_perm[pid, 0, ix]
-                    ^ texs.perlin_perm[pid, 1, jx]
-                    ^ texs.perlin_perm[pid, 2, kx]
-                )
-                g = texs.perlin_grad[pid, idx]  # (R, 3)
-                w0 = jnp.where(di == 1, h[..., 0], 1.0 - h[..., 0])
-                w1 = jnp.where(dj == 1, h[..., 1], 1.0 - h[..., 1])
-                w2 = jnp.where(dk == 1, h[..., 2], 1.0 - h[..., 2])
-                offset = uvw - jnp.array([di, dj, dk], q.dtype)
-                acc = acc + w0 * w1 * w2 * vec.dot(g, offset)
+                w2 = h[..., 2] if dk else 1.0 - h[..., 2]
+                oz = uvw[..., 2] - dk
+                h1 = _murmur3_fmix(hx[di] ^ hy[dj] ^ hz[dk] ^ salt)
+                h2 = _murmur3_fmix(h1 ^ jnp.uint32(0x68E31DA4))
+                h3 = _murmur3_fmix(h2 ^ jnp.uint32(0xB5297A4D))
+                # gradient components uniform in [-1, 1) (the reference's
+                # gradients are uniform in [-1,1]^3, src/Lib.hs:424-427)
+                gx = (h1 >> jnp.uint32(8)).astype(jnp.float32) * to_signed - 1.0
+                gy = (h2 >> jnp.uint32(8)).astype(jnp.float32) * to_signed - 1.0
+                gz = (h3 >> jnp.uint32(8)).astype(jnp.float32) * to_signed - 1.0
+                acc = acc + (w0 * w1 * w2) * (gx * ox + gy * oy + gz * oz)
     return acc
 
 
@@ -66,12 +89,13 @@ def marble_from(scene: SceneData, pid, sc, p):
     """Turbulence-phase marble (reference ``turb``/``marbleTexture``,
     src/Lib.hs:486-494, 512-513): 0.5 * (1 + sin(z + 10 * |sum w_n noise(2^n p)|)),
     7 octaves, noise scaled per texture."""
+    salt = scene.texs.perlin_salt[pid]  # one tiny gather, then pure ALU
     sc = sc[..., None]
     acc = jnp.zeros(p.shape[:-1], p.dtype)
     pp = p
     weight = 1.0
     for _ in range(7):
-        acc = acc + weight * _perlin_noise(scene, pid, sc * pp)
+        acc = acc + weight * _perlin_noise(salt, sc * pp)
         pp = 2.0 * pp
         weight = weight * 0.5
     turb = jnp.abs(acc)

@@ -90,12 +90,21 @@ def plan_pool(scene, width: int, height: int, spp: int,
     k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
     s_total = spp // k_pool
     lanes = width * height * k_pool
-    # per-wave device-time budget: big scenes get ~2s dispatches (the remote
-    # worker crashes under multi-second sustained executions; empirically a
-    # 160k-lane x 3409-prim x 4-sample wave ~9s dies, ~2s survives), small
-    # scenes a generous cap that never binds at reference sizes
-    flops_budget = 2.5e12 if scene.n_prims > 512 else 2e13
-    s_budget = max(1, int(flops_budget / (lanes * max(scene.n_prims, 1) * 8)))
+    # Per-wave device-time budget: big scenes get ~2.5s dispatches (the
+    # remote worker crashes under multi-second sustained executions;
+    # empirically a 160k-lane x 3409-prim x 4-sample wave ~9s dies, ~2s
+    # survives).  The cost model is anchored on a measurement, not flops:
+    # one SAMPLE costs ~avg_path_len (~7) masked sweep iterations, and a
+    # 160k-lane x 3409-prim x 1-sample wave measured ~2.3s (PERFLOG.md), so
+    # per (lane*prim*sample) ~= 4.2e-9 s.  Small scenes keep a generous cap
+    # that never binds at reference sizes.
+    if scene.n_prims > 512:
+        time_budget_s, per_lane_prim_sample_s = 2.5, 4.2e-9
+        s_budget = max(1, int(
+            time_budget_s / (lanes * max(scene.n_prims, 1)
+                             * per_lane_prim_sample_s)))
+    else:
+        s_budget = max(1, int(2e13 / (lanes * max(scene.n_prims, 1) * 8)))
     s_wave = _largest_divisor_leq(s_total, min(samples_per_wave, s_budget))
     return k_pool, s_wave, s_total // s_wave
 
