@@ -66,33 +66,35 @@ def test_pallas_with_media_combination():
     np.testing.assert_array_equal(np.asarray(ra.prim)[h], np.asarray(rb.prim)[h])
 
 
-def test_pallas_block_culling_exact():
-    """Block-AABB culling must be invisible: cull=True == cull=False
-    bit-for-bit (any prim hit lies inside its block's box)."""
-    from tpu_ray.ops.intersect_pallas import intersect_solids_pallas
-
+def test_pallas_per_kind_launches_big_mixed_scene():
+    """A >512-prim scene with all three solid kinds exercises multi-block
+    per-kind kernel launches; (hit, prim) must agree exactly with the XLA
+    sweep and t to fp tolerance."""
     r = np.random.default_rng(31)
     objs = [
         ob.Sphere(tuple(r.uniform(-50, 50, 3)), r.uniform(0.3, 1.5),
                   ob.Lambertian((1, 1, 1)))
         for _ in range(500)
     ]
+    for _ in range(40):
+        lo3 = r.uniform(-50, 50, 3)
+        objs.append(ob.Box(tuple(lo3), tuple(lo3 + r.uniform(0.5, 4.0, 3)),
+                           ob.Lambertian((1, 1, 1))))
     for plane in ("xy", "xz", "yz"):
         for _ in range(30):
             a = np.sort(r.uniform(-50, 50, 2)); b = np.sort(r.uniform(-50, 50, 2))
             objs.append(ob.Rect(plane, a[0], a[1], b[0], b[1],
                                 r.uniform(-50, 50), ob.Lambertian((1, 1, 1))))
     scene = build_scene(objs)
+    assert scene.n_sphere == 500 and scene.n_box == 40
     ro, rd, rt = _rays(32, 1024, -120, 120)
-    t_a, i_a = jax.jit(
-        lambda *a: intersect_solids_pallas(scene, *a, cull=False)
-    )(ro, rd, rt)
-    t_b, i_b = jax.jit(
-        lambda *a: intersect_solids_pallas(scene, *a, cull=True)
-    )(ro, rd, rt)
-    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
-    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
-    assert np.isfinite(np.asarray(t_a)).sum() > 100
+    ra = intersect_scene(scene, ro, rd, rt, KEY)
+    rb = intersect_scene(scene, ro, rd, rt, KEY, engine="pallas")
+    np.testing.assert_array_equal(np.asarray(ra.hit), np.asarray(rb.hit))
+    h = np.asarray(ra.hit)
+    assert h.sum() > 100
+    np.testing.assert_allclose(np.asarray(ra.t)[h], np.asarray(rb.t)[h], rtol=5e-4)
+    np.testing.assert_array_equal(np.asarray(ra.prim)[h], np.asarray(rb.prim)[h])
 
 
 def test_pallas_render_matches():

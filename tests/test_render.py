@@ -149,8 +149,12 @@ def test_scene_prim_counts():
     assert SCENES["two-spheres"].build().n_prims == 2
     n1 = SCENES["book1-final"].build(seed=1024).n_prims
     assert 400 <= n1 <= 488  # 4 heroes + 22x22 grid minus skips
-    nf = SCENES["next-week-final"].build(seed=1024, earth=None).n_prims
-    assert nf == 2400 + 1 + 1 + 1 + 1 + 1 + 2 + 1 + 1 + 1000
+    # 400 axis-aligned ground cuboids compile to ONE solid-box prim each
+    # (not 6 rects - the reference's cuboid explosion, src/Lib.hs:594-605,
+    # is an ADT artifact, not a geometric requirement)
+    sc = SCENES["next-week-final"].build(seed=1024, earth=None)
+    assert sc.n_prims == 400 + 1 + 1 + 1 + 1 + 1 + 2 + 1 + 1 + 1000
+    assert sc.n_box == 400 and sc.n_sphere == 1006 and sc.has_solid_box
 
 
 def test_cornell_light_is_lit():

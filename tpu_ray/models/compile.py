@@ -40,6 +40,7 @@ from .scene_data import (
     MAT_LAMBERTIAN,
     MAT_METAL,
     PRIM_MEDIUM_BOX,
+    PRIM_BOX,
     PRIM_MEDIUM_SPHERE,
     PRIM_QUAD,
     PRIM_SPHERE,
@@ -243,8 +244,17 @@ def _flatten(
         p.n = rot @ n
         out.append(p)
     elif isinstance(obj, ob.Box):
-        for r in _box_rects(obj):
-            _flatten(r, rot, off, tables, out)
+        if np.allclose(rot, _EYE3):
+            # axis-aligned: one slab-test prim instead of 6 rect tests
+            # (reference cuboid, src/Lib.hs:594-605; 2400 of next-week's
+            # 3409 prims were box faces - PERFLOG.md round 2)
+            p = _Prim(PRIM_BOX, tables.material(obj.material))
+            p.box_min = np.asarray(obj.pmin, np.float64) + off
+            p.box_max = np.asarray(obj.pmax, np.float64) + off
+            out.append(p)
+        else:
+            for r in _box_rects(obj):
+                _flatten(r, rot, off, tables, out)
     elif isinstance(obj, ob.ConstantMedium):
         mat_id = tables.material(ob.Isotropic(obj.texture))
         base, brot, boff = _reduce_boundary(obj.boundary, rot, off)
@@ -316,10 +326,10 @@ def _morton_codes(centroids: np.ndarray) -> np.ndarray:
     """30-bit Morton code per centroid (N, 3) -> (N,) uint32.
 
     Spatially-close primitives get close codes, so the intersector's
-    128/512-prim blocks stay spatially coherent and per-block AABB culling
-    (ops/intersect.py, ops/intersect_pallas.py) can skip most of the scene
-    per ray tile - the TPU-native stand-in for the reference's per-ray BVH
-    descent (src/Lib.hs:970-988).
+    128/512-prim blocks stay spatially coherent and the optional chunk-AABB
+    culling in the scanned XLA sweep (ops/intersect.py) stays exact and
+    cheap.  (Per-tile culling in the Pallas kernel was measured a loss on
+    real TPU - bounced-ray tiles never agree to skip - see PERFLOG.md.)
     """
     lo = centroids.min(axis=0)
     span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
@@ -335,6 +345,8 @@ def _prim_centroid(p: "_Prim") -> np.ndarray:
     """World-space AABB centroid (motion: union over t in [0, 1])."""
     if p.kind == PRIM_QUAD:
         return p.p0 + 0.5 * (p.e1 + p.e2)
+    if p.kind == PRIM_BOX:
+        return 0.5 * (p.box_min + p.box_max)
     # spheres (all reference scenes move within t in [0, 1])
     c0 = p.center + p.velocity * (0.0 - p.time0)
     c1 = p.center + p.velocity * (1.0 - p.time0)
@@ -370,12 +382,12 @@ def build_scene(
     if not prims:
         raise ValueError("scene has no primitives")
 
-    # order: spheres, then quads, then media.  Homogeneous regions let the
-    # intersect sweep run only the math each chunk needs, and the Pallas
-    # kernel covers the contiguous solid prefix.  Within each solid kind,
-    # order by Morton code so prim blocks are spatially coherent (enables
-    # block-AABB culling); media keep insertion order (their free-flight
-    # uniforms are drawn per medium slot).
+    # order: spheres, then solid boxes, then quads, then media.  Kind-
+    # homogeneous regions let each intersect sweep (and each per-kind
+    # Pallas kernel launch) run only the math that kind needs.  Within each
+    # solid kind, order by Morton code so prim blocks are spatially
+    # coherent; media keep insertion order (their free-flight uniforms are
+    # drawn per medium slot).
     solid_centroids = np.array(
         [_prim_centroid(p) for p in prims if p.kind < PRIM_MEDIUM_SPHERE]
     )
@@ -528,13 +540,18 @@ def build_scene(
     # --- packed payloads (one wide gather instead of many scalar ones) ---
     # prim payload: 0 kind | 1 mat | 2:5 center | 5:8 velocity | 8 time0
     # | 9 radius | 10:13 quad_p0 | 13:16 quad_inv1 | 16:19 quad_inv2
-    # | 19:22 quad_n
+    # | 19:22 quad_n.  Solid-box rows reuse the quad slots: 10:13 box_min,
+    # 13:16 box_max (a box never needs the quad fields and vice versa).
     prim_payload = np.concatenate([
         kind[:, None].astype(np.float32),
         mat[:, None].astype(np.float32),
         center, velocity, time0[:, None], radius[:, None],
         quad_p0, quad_inv1, quad_inv2, quad_n,
     ], axis=1).astype(np.float32)
+    is_solid_box = kind == PRIM_BOX
+    if is_solid_box.any():
+        prim_payload[is_solid_box, 10:13] = box_min[is_solid_box]
+        prim_payload[is_solid_box, 13:16] = box_max[is_solid_box]
 
     # material payload: 0 mkind | 1 fuzz | 2 ref_idx | 3 tex_kind
     # | 4:7 color | 7:10 odd color | 10:13 even color | 13 perlin scale
@@ -580,8 +597,10 @@ def build_scene(
         has_moving=bool(np.any(np.abs(velocity) > 0)),
         has_quads=bool(np.any(kind == PRIM_QUAD)),
         has_spheres=bool(np.any((kind == PRIM_SPHERE) | (kind == PRIM_MEDIUM_SPHERE))),
+        has_solid_box=bool(is_solid_box.any()),
         n_solid=int(np.sum(~is_medium)),
         n_sphere=int(np.sum(kind == PRIM_SPHERE)),
+        n_box=int(is_solid_box.sum()),
         any_transform=bool(np.any(live_transform)),
         has_checker=TEX_CHECKER in tex_kinds,
         checker_fancy=checker_fancy,

@@ -16,11 +16,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-# Primitive kinds
+# Primitive kinds (solids < PRIM_MEDIUM_SPHERE <= media)
 PRIM_SPHERE = 0        # static or moving sphere (velocity field)
-PRIM_QUAD = 1          # parallelogram (any rect orientation x any rigid xform)
-PRIM_MEDIUM_SPHERE = 2  # constant-density medium with sphere boundary
-PRIM_MEDIUM_BOX = 3     # constant-density medium with box boundary
+PRIM_BOX = 1           # axis-aligned solid box (reference cuboid with no
+#                        rotation, src/Lib.hs:594-605: one slab test replaces
+#                        6 rect tests - 2400 of next-week-final's 3409 prims
+#                        were box faces)
+PRIM_QUAD = 2          # parallelogram (any rect orientation x any rigid xform)
+PRIM_MEDIUM_SPHERE = 3  # constant-density medium with sphere boundary
+PRIM_MEDIUM_BOX = 4     # constant-density medium with box boundary
 
 # Material kinds (reference: src/Lib.hs:339-345)
 MAT_LAMBERTIAN = 0
@@ -69,8 +73,8 @@ class PrimArrays:
     quad_d: jnp.ndarray        # (N,) dot(p0, n): plane offset
     quad_inv1: jnp.ndarray     # (N, 3) e1 / |e1|^2 (uv projection)
     quad_inv2: jnp.ndarray     # (N, 3) e2 / |e2|^2
-    # medium-box boundary (object space; the only kind that keeps a live
-    # rigid transform)
+    # solid-box (world space, axis aligned) / medium-box boundary (object
+    # space; the only kind that keeps a live rigid transform)
     box_min: jnp.ndarray       # (N, 3)
     box_max: jnp.ndarray       # (N, 3)
     # constant medium: -1/density (reference: src/Lib.hs:789-791) and a
@@ -158,14 +162,17 @@ class SceneData:
     n_lights: int = struct.field(pytree_node=False, default=0)
     has_media: bool = struct.field(pytree_node=False, default=False)
     n_media: int = struct.field(pytree_node=False, default=0)
-    # row layout: spheres [0, n_sphere), quads [n_sphere, n_solid),
-    # media [n_solid, n_prims)
+    # row layout: spheres [0, n_sphere), solid boxes [n_sphere,
+    # n_sphere+n_box), quads [n_sphere+n_box, n_solid), media [n_solid,
+    # n_prims)
     n_solid: int = struct.field(pytree_node=False, default=0)
     n_sphere: int = struct.field(pytree_node=False, default=0)
+    n_box: int = struct.field(pytree_node=False, default=0)
     has_box_media: bool = struct.field(pytree_node=False, default=False)
     has_moving: bool = struct.field(pytree_node=False, default=False)
     has_quads: bool = struct.field(pytree_node=False, default=False)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
+    has_solid_box: bool = struct.field(pytree_node=False, default=False)
     # any medium box carries a non-identity rigid transform
     any_transform: bool = struct.field(pytree_node=False, default=False)
     has_checker: bool = struct.field(pytree_node=False, default=False)

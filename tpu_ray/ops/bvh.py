@@ -28,6 +28,7 @@ from flax import struct
 
 from ..core import vec
 from ..models.scene_data import (
+    PRIM_BOX,
     PRIM_MEDIUM_BOX,
     PRIM_MEDIUM_SPHERE,
     PRIM_QUAD,
@@ -78,6 +79,10 @@ def prim_aabbs(scene: SceneData, time0: float = 0.0, time1: float = 1.0) -> np.n
         # the reference pads rect boxes by +-epsilon (src/Lib.hs:914-919)
         lo[quad] = corners.min(0)[quad] - MED_EPS
         hi[quad] = corners.max(0)[quad] + MED_EPS
+    sbox = kind == PRIM_BOX
+    if sbox.any():
+        lo[sbox] = p.box_min[:n][sbox]
+        hi[sbox] = p.box_max[:n][sbox]
     mbox = kind == PRIM_MEDIUM_BOX
     if mbox.any():
         bmin, bmax = p.box_min[:n], p.box_max[:n]
@@ -203,6 +208,19 @@ def _one_prim_t(scene: SceneData, pid, ro, rd, rt, u_med, t_min, a, dlen):
         vq = vec.dot(x, prims.quad_inv2[pid])
         ok_q = (tq > t_min) & (uq >= 0) & (uq <= 1) & (vq >= 0) & (vq <= 1)
         t = jnp.where(kind == PRIM_QUAD, jnp.where(ok_q, tq, INF), t)
+
+    if scene.has_solid_box:
+        inv = 1.0 / rd
+        ta_b = (prims.box_min[pid] - ro) * inv
+        tb_b = (prims.box_max[pid] - ro) * inv
+        tn_b = jnp.max(jnp.minimum(ta_b, tb_b), axis=-1)
+        tf_b = jnp.min(jnp.maximum(ta_b, tb_b), axis=-1)
+        ok_b = tf_b > tn_b
+        t_box = jnp.where(
+            ok_b & (tn_b > t_min), tn_b,
+            jnp.where(ok_b & (tf_b > t_min), tf_b, INF),
+        )
+        t = jnp.where(kind == PRIM_BOX, t_box, t)
 
     if scene.has_media:
         te = jnp.full_like(t, INF)

@@ -33,6 +33,7 @@ from flax import struct
 
 from ..core import vec
 from ..models.scene_data import (
+    PRIM_BOX,
     PRIM_MEDIUM_BOX,
     PRIM_MEDIUM_SPHERE,
     PRIM_QUAD,
@@ -63,7 +64,7 @@ class HitRecord:
 
 
 def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
-             do_spheres=None, do_quads=None, do_media=None):
+             do_spheres=None, do_quads=None, do_media=None, do_boxes=None):
     """Hit distance of every ray against a chunk of prims -> (R, C).
 
     ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
@@ -77,6 +78,7 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
     do_spheres = scene.has_spheres if do_spheres is None else do_spheres
     do_quads = scene.has_quads if do_quads is None else do_quads
     do_media = scene.has_media if do_media is None else do_media
+    do_boxes = scene.has_solid_box if do_boxes is None else do_boxes
     sl = lambda a: a
     kind = prims.kind[None, :]                # (1, C)
     a = vec.dot(rd, rd)[:, None]              # (R, 1)
@@ -120,6 +122,23 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
             & (uq >= 0.0) & (uq <= 1.0) & (vq >= 0.0) & (vq <= 1.0)
         )
         t = jnp.where(kind == PRIM_QUAD, jnp.where(ok_q, tq, INF), t)
+
+    # ---- solid boxes: world-space axis-aligned slab test.  One test
+    # replaces the reference cuboid's fold over 6 rects (src/Lib.hs:594-605,
+    # 989-1004): closest-t is identical (entry face if in front of t_min,
+    # else exit face for rays starting inside the box)
+    if do_boxes:
+        inv_d = 1.0 / rd[:, None, :]
+        ta = (sl(prims.box_min)[None] - ro[:, None, :]) * inv_d
+        tb = (sl(prims.box_max)[None] - ro[:, None, :]) * inv_d
+        tn_b = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        tf_b = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        ok_b = tf_b > tn_b
+        t_box = jnp.where(
+            ok_b & (tn_b > t_min) & (tn_b < t_max), tn_b,
+            jnp.where(ok_b & (tf_b > t_min) & (tf_b < t_max), tf_b, INF),
+        )
+        t = jnp.where(kind == PRIM_BOX, t_box, t)
 
     # ---- constant media: exponential free flight, src/Lib.hs:1053-1080
     if do_media:
@@ -218,6 +237,10 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
             ])  # (4, C, 3)
             lo = jnp.where(valid[:, None], corners.min(0), INF).min(0)
             hi = jnp.where(valid[:, None], corners.max(0), -INF).max(0)
+        elif do.get("do_boxes"):
+            valid = p.kind == PRIM_BOX
+            lo = jnp.where(valid[:, None], p.box_min, INF).min(0)
+            hi = jnp.where(valid[:, None], p.box_max, -INF).max(0)
         else:
             valid = p.radius > 0.0
             c0 = p.center + p.velocity * (0.0 - p.time0)[:, None]
@@ -289,16 +312,24 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
         )
         return best_t, best_i
 
-    # homogeneous regions (models/compile.py sorts spheres | quads | media)
+    # homogeneous regions (models/compile.py sorts spheres | boxes | quads
+    # | media)
     best = (best_t, best_i)
     if start0 < scene.n_solid:
         s0 = max(start0, 0)
+        n_sb = scene.n_sphere + scene.n_box
         best = sweep(best, s0, scene.n_sphere,
-                     do_spheres=True, do_quads=False, do_media=False)
-        best = sweep(best, max(scene.n_sphere, s0), scene.n_solid,
-                     do_spheres=False, do_quads=True, do_media=False)
+                     do_spheres=True, do_quads=False, do_media=False,
+                     do_boxes=False)
+        best = sweep(best, max(scene.n_sphere, s0), n_sb,
+                     do_spheres=False, do_quads=False, do_media=False,
+                     do_boxes=True)
+        best = sweep(best, max(n_sb, s0), scene.n_solid,
+                     do_spheres=False, do_quads=True, do_media=False,
+                     do_boxes=False)
     best = sweep(best, scene.n_solid, n,
-                 do_spheres=False, do_quads=False, do_media=scene.has_media)
+                 do_spheres=False, do_quads=False, do_media=scene.has_media,
+                 do_boxes=False)
     best_t, best_i = best
 
     return _hit_record(scene, ro, rd, rt, best_t, best_i)
@@ -337,6 +368,41 @@ def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
         normal = vec.where3(is_quad, pay[:, 19:22], normal)
         uu = jnp.where(is_quad, u_q, uu)
         vv = jnp.where(is_quad, v_q, vv)
+
+    if scene.has_solid_box:
+        # solid box: recompute the slab times with the same fp ops as the
+        # sweep (bit-identical), pick the face axis, and emit the same
+        # outward normal / face UV the exploded 6-rect form produces
+        # (rect axes per orientation: src/Lib.hs:607-660, 1005-1026)
+        bmin = pay[:, 10:13]
+        bmax = pay[:, 13:16]
+        inv_d = 1.0 / rd
+        ta = (bmin - ro) * inv_d
+        tb = (bmax - ro) * inv_d
+        t3n = jnp.minimum(ta, tb)           # (R, 3) per-axis entry
+        t3f = jnp.maximum(ta, tb)
+        tn_b = jnp.max(t3n, axis=-1)
+        use_entry = tn_b > jnp.float32(scene.t_min)
+        axis = jnp.where(use_entry, jnp.argmax(t3n, axis=-1),
+                         jnp.argmin(t3f, axis=-1))
+        # pre-flip normal is the +axis direction for EVERY face, exactly as
+        # the exploded rects' (src/Lib.hs:1005-1012 k-axis normals): the
+        # cuboid's min-side faces point INTO the box, so their front flag is
+        # inverted relative to "outside" - observable on dielectric boxes
+        # (front picks 1/ri vs ri) and emissive back-face checks; preserved.
+        n_box = (axis[:, None] == jnp.arange(3)[None, :]).astype(rd.dtype)
+        # face UV, matching the rect conventions: z-face -> (x, y),
+        # y-face -> (x, z), x-face -> (y, z)
+        ua = jnp.where(axis == 0, 1, 0)
+        va = jnp.where(axis == 2, 1, 2)
+        ext = jnp.maximum(bmax - bmin, 1e-30)
+        frac = (point - bmin) / ext
+        u_b = jnp.take_along_axis(frac, ua[:, None], axis=-1)[:, 0]
+        v_b = jnp.take_along_axis(frac, va[:, None], axis=-1)[:, 0]
+        is_box = kind == PRIM_BOX
+        normal = vec.where3(is_box, n_box.astype(normal.dtype), normal)
+        uu = jnp.where(is_box, u_b, uu)
+        vv = jnp.where(is_box, v_b, vv)
 
     front = vec.dot(rd, normal) < 0.0
     normal = vec.where3(front, normal, -normal)

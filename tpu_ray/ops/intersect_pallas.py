@@ -1,16 +1,23 @@
-"""Fused Pallas TPU kernel for the solid-primitive intersect sweep.
+"""Fused Pallas TPU kernels for the solid-primitive intersect sweep.
 
 The brute-force intersector's inner product (every ray x every primitive) is
 the hot loop of the whole tracer.  The XLA version (ops/intersect.py) relies
-on fusion to keep the (R, C) candidate-t tiles out of HBM; this kernel makes
+on fusion to keep the (R, C) candidate-t tiles out of HBM; these kernels make
 that explicit: a grid over ray tiles keeps a (TILE_R,) running minimum in
-registers/VMEM while looping over primitive blocks that live entirely in
-VMEM, so HBM traffic is exactly "rays in, (t, prim) out".
+VMEM scratch while looping over primitive blocks that live entirely in VMEM,
+so HBM traffic is exactly "rays in, (t, prim) out".
 
-Covers spheres (static + moving) and quads - the solid prefix of the
-primitive table (models/compile.py orders media last).  Constant media need
-per-ray RNG and are intersected by the XLA path and min-combined in
-ops/intersect.intersect_scene(engine="pallas").
+The scene compiler sorts solids into kind-homogeneous ranges (spheres |
+boxes | quads, models/compile.py), and each range runs as its OWN
+pallas_call with a kernel specialized to that kind.  This replaces round 1's
+single uniform kernel, which computed sphere AND quad math for every
+128-prim block; per-kind launches run only the math each block needs, with
+no per-block branching inside the kernel (the round-1 attempt at
+``pl.when``-guarded per-block specialization faulted the TPU worker -
+tools/repro_specialize.py - and is structurally unnecessary now).
+
+Constant media need per-ray RNG and are intersected by the XLA path and
+min-combined in ops/intersect.intersect_scene(engine="pallas").
 
 All math in f32; shapes are (TILE_R, PBLK) = (256, 128) - aligned to the
 8x128 VPU.
@@ -21,251 +28,201 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.scene_data import PRIM_QUAD, PRIM_SPHERE, SceneData
+from ..models.scene_data import SceneData
 
 TILE_R = 256
 PBLK = 128
-# Per-block kind specialization produces a kernel that faults the real
-# TPU worker (interpret mode is fine); disabled until the Mosaic issue
-# is understood.  The uniform kernel is the one validated on hardware.
-SPECIALIZE_BLOCKS = False
 BIG = 3.4e38  # sentinel (finite, so masked min/argmin stay sane)
 
 
-def _kernel(ro_ref, rd_ref, rt_ref,
-            kind_ref, cx_ref, cy_ref, cz_ref, vx_ref, vy_ref, vz_ref,
-            t0_ref, r2_ref,
-            qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
-            u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
-            bbox_ref,
-            out_t_ref, out_i_ref,
-            bt_ref, bi_ref,
-            *, block_kinds, t_min: float, has_moving: bool, cull: bool):
+def _sphere_kernel(ro_ref, rd_ref, rt_ref,
+                   cx_ref, cy_ref, cz_ref, vx_ref, vy_ref, vz_ref,
+                   t0_ref, r2_ref,
+                   out_t_ref, out_i_ref, bt_ref, bi_ref,
+                   *, n_blocks: int, t_min: float, has_moving: bool):
+    """Sphere quadratic sweep (src/Lib.hs:1081-1108); moving spheres lerp
+    their center by ray time.  Padded rows have radius^2 = 0: never hit."""
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]  # (T,1)
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
-    a = rdx * rdx + rdy * rdy + rdz * rdz        # (T,1)
+    a = rdx * rdx + rdy * rdy + rdz * rdz
     inv_a = 1.0 / a
     rt = rt_ref[:, 0:1]
-    if cull:
-        ix = 1.0 / rdx; iy = 1.0 / rdy; iz = 1.0 / rdz
-
     bt_ref[:] = jnp.full((TILE_R, 1), BIG)
     bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
-
-    def block_body(pb, sph_b, quad_b):
+    for pb in range(n_blocks):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
-        kind = kind_ref[0, s][None, :]           # (1,P)
-        t = None
-        if sph_b:
-            # --- spheres: quadratic (src/Lib.hs:1081-1108) ---
-            cx = cx_ref[0, s][None, :]
-            cy = cy_ref[0, s][None, :]
-            cz = cz_ref[0, s][None, :]
-            if has_moving:
-                dt = rt - t0_ref[0, s][None, :]  # (T,P)
-                cx = cx + vx_ref[0, s][None, :] * dt
-                cy = cy + vy_ref[0, s][None, :] * dt
-                cz = cz + vz_ref[0, s][None, :] * dt
-            ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
-            b = ocx * rdx + ocy * rdy + ocz * rdz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r2_ref[0, s][None, :]
-            disc = b * b - a * c
-            ok = disc > 0.0
-            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = (-b - sd) * inv_a
-            t2 = (-b + sd) * inv_a
-            t_s = jnp.where(ok & (t1 > t_min), t1,
-                            jnp.where(ok & (t2 > t_min), t2, BIG))
-            t = jnp.where(kind == PRIM_SPHERE, t_s, BIG)
-        if quad_b:
-            # --- quads: world-space parallelogram (cf. ops/intersect.py) ---
-            nx = qnx_ref[0, s][None, :]
-            ny = qny_ref[0, s][None, :]
-            nz = qnz_ref[0, s][None, :]
-            dn = rdx * nx + rdy * ny + rdz * nz
-            tq = (qd_ref[0, s][None, :] - (rox * nx + roy * ny + roz * nz)) / dn
-            xx = rox + tq * rdx - qpx_ref[0, s][None, :]
-            xy = roy + tq * rdy - qpy_ref[0, s][None, :]
-            xz = roz + tq * rdz - qpz_ref[0, s][None, :]
-            uq = xx * u1x_ref[0, s][None, :] + xy * u1y_ref[0, s][None, :] \
-                + xz * u1z_ref[0, s][None, :]
-            vq = xx * u2x_ref[0, s][None, :] + xy * u2y_ref[0, s][None, :] \
-                + xz * u2z_ref[0, s][None, :]
-            okq = (tq > t_min) & (uq >= 0.0) & (uq <= 1.0) \
-                & (vq >= 0.0) & (vq <= 1.0)
-            tq = jnp.where((kind == PRIM_QUAD) & okq, tq, BIG)
-            t = tq if t is None else jnp.where(kind == PRIM_QUAD, tq, t)
-        if t is None:  # pad-only block
-            return
-
-        bt = jnp.min(t, axis=1, keepdims=True)             # (T,1)
+        cx = cx_ref[0, s][None, :]
+        cy = cy_ref[0, s][None, :]
+        cz = cz_ref[0, s][None, :]
+        if has_moving:
+            dt = rt - t0_ref[0, s][None, :]  # (T,P)
+            cx = cx + vx_ref[0, s][None, :] * dt
+            cy = cy + vy_ref[0, s][None, :] * dt
+            cz = cz + vz_ref[0, s][None, :] * dt
+        ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2_ref[0, s][None, :]
+        disc = b * b - a * c
+        ok = disc > 0.0
+        sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sd) * inv_a
+        t2 = (-b + sd) * inv_a
+        t = jnp.where(ok & (t1 > t_min), t1,
+                      jnp.where(ok & (t2 > t_min), t2, BIG))
+        bt = jnp.min(t, axis=1, keepdims=True)
         bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
-        prev_t = bt_ref[:]
-        closer = bt < prev_t
-        bt_ref[:] = jnp.where(closer, bt, prev_t)
+        prev = bt_ref[:]
+        closer = bt < prev
+        bt_ref[:] = jnp.where(closer, bt, prev)
         bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
-
-    for pb, (sph_b, quad_b) in enumerate(block_kinds):
-        if not (sph_b or quad_b):
-            continue
-        if not cull:
-            block_body(pb, sph_b, quad_b)
-            continue
-        # block-AABB cull (Morton-ordered prims keep blocks tight): run the
-        # 128-prim math only when some ray in the tile enters the block's
-        # box closer than its current best (slack covers f32 slab-vs-
-        # primitive rounding; prim hits lie inside the box, so skipping is
-        # exact - cf. the chunk cull in ops/intersect.py)
-        tx0 = (bbox_ref[0, 6 * pb + 0] - rox) * ix
-        tx1 = (bbox_ref[0, 6 * pb + 3] - rox) * ix
-        ty0 = (bbox_ref[0, 6 * pb + 1] - roy) * iy
-        ty1 = (bbox_ref[0, 6 * pb + 4] - roy) * iy
-        tz0 = (bbox_ref[0, 6 * pb + 2] - roz) * iz
-        tz1 = (bbox_ref[0, 6 * pb + 5] - roz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                     jnp.maximum(ty0, ty1)),
-                         jnp.maximum(tz0, tz1))
-        slack = 1e-4 * (1.0 + jnp.abs(tn))
-        needed = jnp.any(
-            (tn - slack <= jnp.minimum(tf, bt_ref[:])) & (tf > t_min)
-        )
-
-        @pl.when(needed)
-        def _():
-            block_body(pb, sph_b, quad_b)
-
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
 
 
-def _pack_solids(scene: SceneData):
-    """Solid prims padded to a PBLK multiple, split into flat (1, P) fields."""
+def _quad_kernel(ro_ref, rd_ref, rt_ref,
+                 qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
+                 u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
+                 out_t_ref, out_i_ref, bt_ref, bi_ref,
+                 *, n_blocks: int, t_min: float):
+    """World-space parallelogram sweep (generalizes src/Lib.hs:1005-1028).
+    Padded rows have n = 0: tq = 0/0 = NaN, every comparison False."""
+    rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
+    rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
+    bt_ref[:] = jnp.full((TILE_R, 1), BIG)
+    bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+    for pb in range(n_blocks):
+        s = slice(pb * PBLK, (pb + 1) * PBLK)
+        nx = qnx_ref[0, s][None, :]
+        ny = qny_ref[0, s][None, :]
+        nz = qnz_ref[0, s][None, :]
+        dn = rdx * nx + rdy * ny + rdz * nz
+        tq = (qd_ref[0, s][None, :] - (rox * nx + roy * ny + roz * nz)) / dn
+        xx = rox + tq * rdx - qpx_ref[0, s][None, :]
+        xy = roy + tq * rdy - qpy_ref[0, s][None, :]
+        xz = roz + tq * rdz - qpz_ref[0, s][None, :]
+        uq = xx * u1x_ref[0, s][None, :] + xy * u1y_ref[0, s][None, :] \
+            + xz * u1z_ref[0, s][None, :]
+        vq = xx * u2x_ref[0, s][None, :] + xy * u2y_ref[0, s][None, :] \
+            + xz * u2z_ref[0, s][None, :]
+        okq = (tq > t_min) & (uq >= 0.0) & (uq <= 1.0) \
+            & (vq >= 0.0) & (vq <= 1.0)
+        t = jnp.where(okq, tq, BIG)
+        bt = jnp.min(t, axis=1, keepdims=True)
+        bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
+        prev = bt_ref[:]
+        closer = bt < prev
+        bt_ref[:] = jnp.where(closer, bt, prev)
+        bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+    out_t_ref[:, 0] = bt_ref[:, 0]
+    out_i_ref[:, 0] = bi_ref[:, 0]
+
+
+def _box_kernel(ro_ref, rd_ref, rt_ref,
+                x0_ref, y0_ref, z0_ref, x1_ref, y1_ref, z1_ref,
+                out_t_ref, out_i_ref, bt_ref, bi_ref,
+                *, n_blocks: int, t_min: float):
+    """Axis-aligned solid-box slab sweep: one test per box instead of the
+    reference cuboid's 6 rect tests (src/Lib.hs:594-605, 989-1004).
+    Padded rows are inverted boxes (min > max): tf < tn, never hit."""
+    rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
+    rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
+    ix = 1.0 / rdx; iy = 1.0 / rdy; iz = 1.0 / rdz
+    bt_ref[:] = jnp.full((TILE_R, 1), BIG)
+    bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+    for pb in range(n_blocks):
+        s = slice(pb * PBLK, (pb + 1) * PBLK)
+        tax = (x0_ref[0, s][None, :] - rox) * ix
+        tbx = (x1_ref[0, s][None, :] - rox) * ix
+        tay = (y0_ref[0, s][None, :] - roy) * iy
+        tby = (y1_ref[0, s][None, :] - roy) * iy
+        taz = (z0_ref[0, s][None, :] - roz) * iz
+        tbz = (z1_ref[0, s][None, :] - roz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                     jnp.minimum(tay, tby)),
+                         jnp.minimum(taz, tbz))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                     jnp.maximum(tay, tby)),
+                         jnp.maximum(taz, tbz))
+        ok = tf > tn
+        t = jnp.where(ok & (tn > t_min), tn,
+                      jnp.where(ok & (tf > t_min), tf, BIG))
+        bt = jnp.min(t, axis=1, keepdims=True)
+        bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
+        prev = bt_ref[:]
+        closer = bt < prev
+        bt_ref[:] = jnp.where(closer, bt, prev)
+        bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+    out_t_ref[:, 0] = bt_ref[:, 0]
+    out_i_ref[:, 0] = bi_ref[:, 0]
+
+
+def _pad1(a, n, pad, fill=0.0):
+    return jnp.pad(a[:n], (0, pad), constant_values=fill)[None]
+
+
+def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
+                 flavor: str, interpret: bool):
+    """(bt, bi) over prim rows [lo, hi) via one kind-specialized kernel."""
     p = scene.prims
-    n = scene.n_solid
-    pad = (-n) % PBLK or (PBLK if n == 0 else 0)
+    n = hi - lo
+    pad = (-n) % PBLK
     P = n + pad
+    take = lambda a: jax.lax.slice_in_dim(a, lo, hi, axis=0)
 
-    def f1(a, fill=0.0):
-        return jnp.pad(a[:n], (0, pad), constant_values=fill)[None]
-
-    def f3(a, i):
-        return jnp.pad(a[:n, i], (0, pad))[None]
-
-    fields = (
-        f1(p.kind.astype(jnp.int32), PRIM_SPHERE),
-        f3(p.center, 0), f3(p.center, 1), f3(p.center, 2),
-        f3(p.velocity, 0), f3(p.velocity, 1), f3(p.velocity, 2),
-        f1(p.time0),
-        f1(p.radius ** 2, 0.0),   # padded rows: radius 0 never hits
-        f3(p.quad_p0, 0), f3(p.quad_p0, 1), f3(p.quad_p0, 2),
-        f3(p.quad_n, 0), f3(p.quad_n, 1), f3(p.quad_n, 2),
-        f1(p.quad_d),
-        f3(p.quad_inv1, 0), f3(p.quad_inv1, 1), f3(p.quad_inv1, 2),
-        f3(p.quad_inv2, 0), f3(p.quad_inv2, 1), f3(p.quad_inv2, 2),
-    )
-    return fields, P
-
-
-def _block_bounds(scene: SceneData, P: int) -> jnp.ndarray:
-    """(1, 6*nblk) per-PBLK-block AABBs [lox loy loz hix hiy hiz]*nblk.
-
-    Conservative over shutter t in [0, 1] for moving spheres (every
-    reference camera uses t0=0, t1=1 - Scenes.hs cameras); padded rows are
-    excluded.  O(N) jnp math - fused into the wave program, negligible next
-    to the O(R*N) sweep.
-    """
-    p = scene.prims
-    n = scene.n_solid
-    pad = P - n
-
-    def padto(a, fill):
-        return jnp.pad(a[:n], [(0, pad)] + [(0, 0)] * (a.ndim - 1),
-                       constant_values=fill)
-
-    kind = padto(p.kind.astype(jnp.int32), -1)
-    c0 = p.center[:n] + p.velocity[:n] * (0.0 - p.time0[:n])[:, None]
-    c1 = p.center[:n] + p.velocity[:n] * (1.0 - p.time0[:n])[:, None]
-    r = p.radius[:n][:, None]
-    lo_s = padto(jnp.minimum(c0, c1) - r, BIG)
-    hi_s = padto(jnp.maximum(c0, c1) + r, -BIG)
-    q0 = p.quad_p0[:n]
-    corners = jnp.stack([q0, q0 + p.quad_e1[:n], q0 + p.quad_e2[:n],
-                         q0 + p.quad_e1[:n] + p.quad_e2[:n]])
-    lo_q = padto(corners.min(0), BIG)
-    hi_q = padto(corners.max(0), -BIG)
-    is_q = (kind == PRIM_QUAD)[:, None]
-    is_s = (kind == PRIM_SPHERE)[:, None]
-    lo = jnp.where(is_q, lo_q, jnp.where(is_s, lo_s, BIG))
-    hi = jnp.where(is_q, hi_q, jnp.where(is_s, hi_s, -BIG))
-    lo = lo.reshape(-1, PBLK, 3).min(axis=1)   # (nblk, 3)
-    hi = hi.reshape(-1, PBLK, 3).max(axis=1)
-    return jnp.concatenate([lo, hi], axis=1).reshape(1, -1)
-
-
-def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
-                            interpret: bool | None = None,
-                            cull: bool | None = None):
-    """(best_t, best_i) of each ray against the solid prims, via Pallas.
-
-    ``interpret`` defaults to True on CPU (tests) and False on TPU.
-    ``cull=True`` skips whole 128-prim blocks per ray tile via block-AABB
-    slab tests.  Default OFF: measured on real TPU (PERFLOG.md round 2),
-    a 256-ray tile of bounced (incoherent) rays virtually never agrees to
-    skip a block, so the slab tests cost ~2x the sweep on secondary
-    bounces (30.9 ms vs 16.6 ms at 160k rays x 3409 prims) and even
-    primary camera tiles lose slightly (17.3 vs 16.2 ms).
-    """
-    if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
-    R = ro.shape[0]
-    pad_r = (-R) % TILE_R
-    if pad_r:
-        ro = jnp.pad(ro, ((0, pad_r), (0, 0)))
-        rd = jnp.pad(rd, ((0, pad_r), (0, 0)), constant_values=1.0)
-        rt = jnp.pad(rt, (0, pad_r))
-    Rp = R + pad_r
-
-    fields, P = _pack_solids(scene)
-    if cull is None:
-        cull = False
-    grid = (Rp // TILE_R,)
-    # per-block kind flags: prims are sorted spheres | quads (compile.py),
-    # so each 128-block runs only the math it needs
-    if SPECIALIZE_BLOCKS:
-        block_kinds = tuple(
-            (pb * PBLK < scene.n_sphere,
-             scene.has_quads and (pb + 1) * PBLK > scene.n_sphere
-             and pb * PBLK < scene.n_solid)
-            for pb in range(P // PBLK)
+    if flavor == "sphere":
+        fields = (
+            _pad1(take(p.center[:, 0]), n, pad),
+            _pad1(take(p.center[:, 1]), n, pad),
+            _pad1(take(p.center[:, 2]), n, pad),
+            _pad1(take(p.velocity[:, 0]), n, pad),
+            _pad1(take(p.velocity[:, 1]), n, pad),
+            _pad1(take(p.velocity[:, 2]), n, pad),
+            _pad1(take(p.time0), n, pad),
+            _pad1(take(p.radius) ** 2, n, pad, 0.0),  # pad: r^2=0 never hits
         )
-    else:
-        block_kinds = tuple(
-            (scene.has_spheres, scene.has_quads) for _ in range(P // PBLK)
+        kern = partial(_sphere_kernel, n_blocks=P // PBLK,
+                       t_min=float(scene.t_min), has_moving=scene.has_moving)
+    elif flavor == "box":
+        fields = (
+            _pad1(take(p.box_min[:, 0]), n, pad, 1.0),  # pad: inverted box
+            _pad1(take(p.box_min[:, 1]), n, pad, 1.0),
+            _pad1(take(p.box_min[:, 2]), n, pad, 1.0),
+            _pad1(take(p.box_max[:, 0]), n, pad, -1.0),
+            _pad1(take(p.box_max[:, 1]), n, pad, -1.0),
+            _pad1(take(p.box_max[:, 2]), n, pad, -1.0),
         )
-    kern = partial(
-        _kernel,
-        block_kinds=block_kinds,
-        t_min=float(scene.t_min),
-        has_moving=scene.has_moving,
-        cull=cull,
-    )
+        kern = partial(_box_kernel, n_blocks=P // PBLK,
+                       t_min=float(scene.t_min))
+    else:  # quad
+        fields = (
+            _pad1(take(p.quad_p0[:, 0]), n, pad),
+            _pad1(take(p.quad_p0[:, 1]), n, pad),
+            _pad1(take(p.quad_p0[:, 2]), n, pad),
+            _pad1(take(p.quad_n[:, 0]), n, pad),  # pad: n=0 -> NaN -> miss
+            _pad1(take(p.quad_n[:, 1]), n, pad),
+            _pad1(take(p.quad_n[:, 2]), n, pad),
+            _pad1(take(p.quad_d), n, pad),
+            _pad1(take(p.quad_inv1[:, 0]), n, pad),
+            _pad1(take(p.quad_inv1[:, 1]), n, pad),
+            _pad1(take(p.quad_inv1[:, 2]), n, pad),
+            _pad1(take(p.quad_inv2[:, 0]), n, pad),
+            _pad1(take(p.quad_inv2[:, 1]), n, pad),
+            _pad1(take(p.quad_inv2[:, 2]), n, pad),
+        )
+        kern = partial(_quad_kernel, n_blocks=P // PBLK,
+                       t_min=float(scene.t_min))
+
+    Rp = ro.shape[0]
     ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
-    bbox_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # per-block scalars
-    bbox = _block_bounds(scene, P)
     out_t, out_i = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields)
-        + [bbox_spec],
+        grid=(Rp // TILE_R,),
+        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields),
         out_specs=(
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -279,6 +236,41 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
             pltpu.VMEM((TILE_R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(ro, rd, rt[:, None], *fields, bbox)
-    best_t = jnp.where(out_t[:R, 0] >= BIG, jnp.inf, out_t[:R, 0])
-    return best_t, out_i[:R, 0]
+    )(ro, rd, rt, *fields)
+    return out_t[:, 0], out_i[:, 0] + lo
+
+
+def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
+                            interpret: bool | None = None):
+    """(best_t, best_i) of each ray against the solid prims, via one
+    kind-specialized Pallas launch per (non-empty) kind range.
+
+    ``interpret`` defaults to True on CPU (tests) and False on TPU.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    R = ro.shape[0]
+    pad_r = (-R) % TILE_R
+    if pad_r:
+        ro = jnp.pad(ro, ((0, pad_r), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad_r), (0, 0)), constant_values=1.0)
+        rt = jnp.pad(rt, (0, pad_r))
+    rt2 = rt[:, None]
+
+    n_sb = scene.n_sphere + scene.n_box
+    ranges = (
+        (0, scene.n_sphere, "sphere"),
+        (scene.n_sphere, n_sb, "box"),
+        (n_sb, scene.n_solid, "quad"),
+    )
+    best_t = jnp.full((R + pad_r,), BIG)
+    best_i = jnp.zeros((R + pad_r,), jnp.int32)
+    for lo, hi, flavor in ranges:
+        if hi <= lo:
+            continue
+        bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor, interpret)
+        closer = bt < best_t
+        best_t = jnp.where(closer, bt, best_t)
+        best_i = jnp.where(closer, bi, best_i)
+    best_t = jnp.where(best_t[:R] >= BIG, jnp.inf, best_t[:R])
+    return best_t, best_i[:R]

@@ -39,7 +39,7 @@ PALLAS_BIG_SCENE_LANES = 160_000
 AUTO_CHECKPOINT_WAVES = 8
 # bump whenever estimator/RNG semantics change: invalidates old checkpoints
 # (a resumed accumulator must have been produced by identical code)
-SEMANTICS_VERSION = 3
+SEMANTICS_VERSION = 4
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
