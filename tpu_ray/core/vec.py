@@ -8,6 +8,7 @@ kernels.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -92,3 +93,31 @@ def onb_local(uvw: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], vec: jnp.ndarra
     """Local->world transform of ``vec`` by the basis (reference: src/Lib.hs:269-270)."""
     u, v, w = uvw
     return vec[..., 0:1] * u + vec[..., 1:2] * v + vec[..., 2:3] * w
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for small tables, as a one-hot MXU contraction.
+
+    TPU gathers pay a per-op scalar-indexing cost (~4-5 ms per gather at 1M
+    lanes regardless of row width, measured PERFLOG.md round 2); a one-hot
+    (R, N) x (N, C) matmul at ``Precision.HIGHEST`` is bit-exact (one 1.0
+    per row; the bf16-pass decomposition is exact for products by 1.0) and
+    as fast or faster at every table size tested (N=2..1409).  XLA fuses
+    the one-hot into the matmul, so no (R, N) intermediate hits HBM.
+
+    Integer tables round-trip through f32 (exact for |x| < 2^24).  1-D
+    tables return 1-D results.
+    """
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    n = t2.shape[0]
+    one_hot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    if jnp.issubdtype(t2.dtype, jnp.integer):
+        out = jnp.einsum("rn,nc->rc", one_hot.astype(jnp.float32),
+                         t2.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        out = out.astype(t2.dtype)
+    else:
+        out = jnp.einsum("rn,nc->rc", one_hot.astype(t2.dtype), t2,
+                         precision=jax.lax.Precision.HIGHEST)
+    return out[:, 0] if squeeze else out

@@ -338,10 +338,11 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
 def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:
     """Reconstruct the full hit record for each ray's winning primitive.
 
-    One wide payload-row gather per ray (TPU gathers cost per op, not per
-    byte); layout in models/compile.py.
+    One wide payload-row pull per ray (TPU gathers cost per op, not per
+    byte; the one-hot contraction beats them - core/vec.py:take_rows);
+    layout in models/compile.py.
     """
-    pay = scene.prim_payload[idx]  # (R, 22)
+    pay = vec.take_rows(scene.prim_payload, idx)  # (R, 22)
     hit = jnp.isfinite(t)
     ts = jnp.where(hit, t, 1.0)  # keep dead lanes finite
     kind = pay[:, 0].astype(jnp.int32)

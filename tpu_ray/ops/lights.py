@@ -37,21 +37,26 @@ def sample_lights_from(scene: SceneData, u5: jnp.ndarray, origin):
     lights = scene.lights
     pick = jnp.minimum((u5[:, 0] * L).astype(jnp.int32), L - 1)
 
+    # all six per-light fields in ONE one-hot row pull (six separate TPU
+    # gathers measured ~8 ms net at 1M lanes; this is ~0 - PERFLOG.md)
+    packed = jnp.concatenate([
+        lights.quad_p0, lights.quad_e1, lights.quad_e2, lights.center,
+        lights.radius[:, None],
+        (lights.kind == LIGHT_QUAD).astype(lights.radius.dtype)[:, None],
+    ], axis=1)                      # (L, 14)
+    row = vec.take_rows(packed, pick)
+
     # quad: uniform point on the parallelogram (src/Lib.hs:708-712)
-    p_quad = (
-        lights.quad_p0[pick]
-        + u5[:, 1:2] * lights.quad_e1[pick]
-        + u5[:, 2:3] * lights.quad_e2[pick]
-    )
+    p_quad = row[:, 0:3] + u5[:, 1:2] * row[:, 3:6] + u5[:, 2:3] * row[:, 6:9]
     dir_quad = p_quad - origin
 
     # sphere: solid-angle cone sample via an ONB (src/Lib.hs:713-718)
-    dc = lights.center[pick] - origin
+    dc = row[:, 9:12] - origin
     d2 = vec.squared_length(dc)
-    local = rng.to_sphere_from(u5[:, 3:5], lights.radius[pick], jnp.maximum(d2, 1e-12))
+    local = rng.to_sphere_from(u5[:, 3:5], row[:, 12], jnp.maximum(d2, 1e-12))
     dir_sph = vec.onb_local(vec.onb_from_w(dc), local)
 
-    return vec.where3(lights.kind[pick] == LIGHT_QUAD, dir_quad, dir_sph)
+    return vec.where3(row[:, 13] > 0.5, dir_quad, dir_sph)
 
 
 def sample_lights(scene: SceneData, key, origin):

@@ -52,8 +52,8 @@ class ScatterResult:
 
 def scatter(scene: SceneData, key, rd, rec: HitRecord,
             lane_ids=None) -> ScatterResult:
-    # one packed payload gather per lane; layout in models/compile.py
-    mp = scene.mat_payload[rec.mat]  # (R, 16)
+    # one packed payload row pull per lane; layout in models/compile.py
+    mp = vec.take_rows(scene.mat_payload, rec.mat)  # (R, 16)
     mkind = mp[:, 0].astype(jnp.int32)
     fuzz = mp[:, 1]
     ref_idx = mp[:, 2]
