@@ -602,6 +602,11 @@ def build_scene(
         n_sphere=int(np.sum(kind == PRIM_SPHERE)),
         n_box=int(is_solid_box.sum()),
         any_transform=bool(np.any(live_transform)),
+        has_lambertian=MAT_LAMBERTIAN in mk,
+        has_metal=MAT_METAL in mk,
+        has_dielectric=MAT_DIELECTRIC in mk,
+        has_isotropic=MAT_ISOTROPIC in mk,
+        has_emissive=MAT_DIFFUSE_LIGHT in mk,
         has_checker=TEX_CHECKER in tex_kinds,
         checker_fancy=checker_fancy,
         has_perlin=TEX_PERLIN in tex_kinds,

@@ -175,6 +175,14 @@ class SceneData:
     has_solid_box: bool = struct.field(pytree_node=False, default=False)
     # any medium box carries a non-identity rigid transform
     any_transform: bool = struct.field(pytree_node=False, default=False)
+    # material-kind presence: ops/scatter.py compiles only the response
+    # branches a scene can reach (default True = compute everything, which
+    # keeps hand-built SceneData in tests conservative)
+    has_lambertian: bool = struct.field(pytree_node=False, default=True)
+    has_metal: bool = struct.field(pytree_node=False, default=True)
+    has_dielectric: bool = struct.field(pytree_node=False, default=True)
+    has_isotropic: bool = struct.field(pytree_node=False, default=True)
+    has_emissive: bool = struct.field(pytree_node=False, default=True)
     has_checker: bool = struct.field(pytree_node=False, default=False)
     # a checker texture whose children are not constant colors needs the
     # slow texture path

@@ -72,81 +72,105 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord,
         lane_ids = jnp.arange(R, dtype=jnp.uint32)
     u = rng.lane_uniforms(key, lane_ids, 14)
 
+    # Each material response below is compiled only when the scene's
+    # material table can reach it (static has_* flags, models/compile.py);
+    # present responses are computed masked and selected by material id.
+    branches = []  # (material kind, direction, weight)
+
     # --- emission: DiffuseLight, back-face only (src/Lib.hs:880-884) ---
-    emitted = jnp.where(
-        ((mkind == MAT_DIFFUSE_LIGHT) & ~rec.front)[:, None], att, 0.0
-    )
+    if scene.has_emissive:
+        emitted = jnp.where(
+            ((mkind == MAT_DIFFUSE_LIGHT) & ~rec.front)[:, None], att, 0.0
+        )
+    else:
+        emitted = jnp.zeros_like(att)
 
     # --- Lambertian (src/Lib.hs:823-836) ---
-    cos_local = rng.cosine_direction_from(u[:, 6:8])
-    cos_dir = vec.onb_local(vec.onb_from_w(n), cos_local)
-    if scene.n_lights > 0:
-        light_dir = sample_lights_from(scene, u[:, 1:6], rec.point)
-        dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, light_dir, cos_dir))
-        cos_pdf = jnp.maximum(vec.dot(dir_lam, n), 0.0) * INV_PI
-        pdf_val = 0.5 * (lights_pdf(scene, rec.point, dir_lam) + cos_pdf)
-        # scatteringPdf == the cosine density here (src/Lib.hs:874-878),
-        # so the MIS weight is cos_pdf / pdf_val
-        w_lam = att * jnp.where(pdf_val > 0.0, cos_pdf / jnp.maximum(pdf_val, 1e-12), 0.0)[:, None]
-    elif scene.strict:
-        # strict-quirks: the reference still builds the mixture with an
-        # ``Unhittable`` light list - half the draws go to the fixed
-        # direction (1,0,0) (htblRandom, src/Lib.hs:724) whose light
-        # density is 0 (src/Lib.hs:702), so pdfVal = 0.5*cosinePdf and the
-        # weight algebra collapses to 2*att when the direction is above
-        # the surface; below it the reference produces a 0/0 = NaN sample
-        # that its own tone map floors to black - reproduced as weight 0.
-        one_x = jnp.broadcast_to(
-            jnp.array([1.0, 0.0, 0.0], att.dtype), cos_dir.shape
-        )
-        dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, one_x, cos_dir))
-        w_lam = att * jnp.where(vec.dot(dir_lam, n) > 0.0, 2.0, 0.0)[:, None]
-    else:
-        dir_lam = vec.normalize(cos_dir)
-        w_lam = att
+    if scene.has_lambertian:
+        cos_local = rng.cosine_direction_from(u[:, 6:8])
+        cos_dir = vec.onb_local(vec.onb_from_w(n), cos_local)
+        if scene.n_lights > 0:
+            light_dir = sample_lights_from(scene, u[:, 1:6], rec.point)
+            dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, light_dir, cos_dir))
+            cos_pdf = jnp.maximum(vec.dot(dir_lam, n), 0.0) * INV_PI
+            pdf_val = 0.5 * (lights_pdf(scene, rec.point, dir_lam) + cos_pdf)
+            # scatteringPdf == the cosine density here (src/Lib.hs:874-878),
+            # so the MIS weight is cos_pdf / pdf_val
+            w_lam = att * jnp.where(
+                pdf_val > 0.0, cos_pdf / jnp.maximum(pdf_val, 1e-12), 0.0
+            )[:, None]
+        elif scene.strict:
+            # strict-quirks: the reference still builds the mixture with an
+            # ``Unhittable`` light list - half the draws go to the fixed
+            # direction (1,0,0) (htblRandom, src/Lib.hs:724) whose light
+            # density is 0 (src/Lib.hs:702), so pdfVal = 0.5*cosinePdf and the
+            # weight algebra collapses to 2*att when the direction is above
+            # the surface; below it the reference produces a 0/0 = NaN sample
+            # that its own tone map floors to black - reproduced as weight 0.
+            one_x = jnp.broadcast_to(
+                jnp.array([1.0, 0.0, 0.0], att.dtype), cos_dir.shape
+            )
+            dir_lam = vec.normalize(vec.where3(u[:, 0] < 0.5, one_x, cos_dir))
+            w_lam = att * jnp.where(vec.dot(dir_lam, n) > 0.0, 2.0, 0.0)[:, None]
+        else:
+            dir_lam = vec.normalize(cos_dir)
+            w_lam = att
+        branches.append((MAT_LAMBERTIAN, dir_lam, w_lam))
 
     # --- Metal (src/Lib.hs:837-841): always scatters, specular ---
-    reflected = vec.reflect(unit_d, n)
-    dir_metal = reflected + fuzz[:, None] * rng.unit_vector_from(u[:, 8:10])
-    w_metal = att
+    if scene.has_metal:
+        reflected = vec.reflect(unit_d, n)
+        dir_metal = reflected + fuzz[:, None] * rng.unit_vector_from(u[:, 8:10])
+        branches.append((MAT_METAL, dir_metal, att))
 
     # --- Dielectric (src/Lib.hs:842-859) ---
-    ratio = jnp.where(rec.front, 1.0 / ref_idx, ref_idx)
-    cos_theta = jnp.minimum(vec.dot(-unit_d, n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    # Schlick with eta ratio as the reference passes it (src/Lib.hs:855, 899-903)
-    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
-    refl_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    must_reflect = ratio * sin_theta > 1.0
-    do_reflect = must_reflect | (u[:, 10] < refl_prob)
-    dir_diel = vec.where3(
-        do_reflect, vec.reflect(unit_d, n), vec.refract(unit_d, n, ratio)
-    )
-    w_diel = jnp.ones_like(att)
+    if scene.has_dielectric:
+        ratio = jnp.where(rec.front, 1.0 / ref_idx, ref_idx)
+        cos_theta = jnp.minimum(vec.dot(-unit_d, n), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        # Schlick with eta ratio as the reference passes it
+        # (src/Lib.hs:855, 899-903)
+        r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+        refl_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+        must_reflect = ratio * sin_theta > 1.0
+        do_reflect = must_reflect | (u[:, 10] < refl_prob)
+        dir_diel = vec.where3(
+            do_reflect, vec.reflect(unit_d, n), vec.refract(unit_d, n, ratio)
+        )
+        branches.append((MAT_DIELECTRIC, dir_diel, jnp.ones_like(att)))
 
     # --- Isotropic (src/Lib.hs:861-865; corrected phase function) ---
-    if scene.strict:
-        # strict-quirks: randomInUnitSphereM draws a NON-unit vector
-        # uniform in the ball (src/Lib.hs:1160-1176) and the integrator
-        # weighs it by the Lambertian scatteringPdf against the medium's
-        # fixed (1,0,0) hit normal with pdfVal = 1 (src/Lib.hs:861-878):
-        # weight = att * max(0, dot(n, raw_dir)) / pi.
-        # (radius floored away from 0: a zero-length direction would make
-        # the next intersect degenerate; the 1e-6 ball is ~1e-18 of the mass)
-        dir_iso = rng.unit_vector_from(u[:, 11:13]) \
-            * jnp.cbrt(jnp.maximum(u[:, 13], 1e-6))[:, None]
-        w_iso = att * (jnp.maximum(vec.dot(rec.normal, dir_iso), 0.0) * INV_PI)[:, None]
-    else:
-        dir_iso = rng.unit_vector_from(u[:, 11:13])
-        w_iso = att
+    if scene.has_isotropic:
+        if scene.strict:
+            # strict-quirks: randomInUnitSphereM draws a NON-unit vector
+            # uniform in the ball (src/Lib.hs:1160-1176) and the integrator
+            # weighs it by the Lambertian scatteringPdf against the medium's
+            # fixed (1,0,0) hit normal with pdfVal = 1 (src/Lib.hs:861-878):
+            # weight = att * max(0, dot(n, raw_dir)) / pi.
+            # (radius floored away from 0: a zero-length direction would make
+            # the next intersect degenerate; the 1e-6 ball is ~1e-18 of mass)
+            dir_iso = rng.unit_vector_from(u[:, 11:13]) \
+                * jnp.cbrt(jnp.maximum(u[:, 13], 1e-6))[:, None]
+            w_iso = att * (
+                jnp.maximum(vec.dot(rec.normal, dir_iso), 0.0) * INV_PI
+            )[:, None]
+        else:
+            dir_iso = rng.unit_vector_from(u[:, 11:13])
+            w_iso = att
+        branches.append((MAT_ISOTROPIC, dir_iso, w_iso))
 
-    direction = vec.where3(mkind == MAT_LAMBERTIAN, dir_lam, dir_metal)
-    direction = vec.where3(mkind == MAT_DIELECTRIC, dir_diel, direction)
-    direction = vec.where3(mkind == MAT_ISOTROPIC, dir_iso, direction)
-    weight = vec.where3(mkind == MAT_LAMBERTIAN, w_lam, w_metal)
-    weight = vec.where3(mkind == MAT_DIELECTRIC, w_diel, weight)
-    weight = vec.where3(mkind == MAT_ISOTROPIC, w_iso, weight)
-    scattered = mkind != MAT_DIFFUSE_LIGHT
+    # select by material id; the first present branch is the base (lanes on
+    # an emissive hit never use direction/weight - any finite value works,
+    # including the emissive-only-scene fallback below)
+    if not branches:
+        branches.append((MAT_DIFFUSE_LIGHT, unit_d, jnp.zeros_like(att)))
+    _, direction, weight = branches[0]
+    for mk, d, w in branches[1:]:
+        is_mk = mkind == mk
+        direction = vec.where3(is_mk, d, direction)
+        weight = vec.where3(is_mk, w, weight)
+    scattered = mkind != MAT_DIFFUSE_LIGHT if scene.has_emissive \
+        else jnp.ones(R, bool)
 
     return ScatterResult(
         direction=direction, weight=weight, emitted=emitted, scattered=scattered
