@@ -39,3 +39,31 @@ def test_golden(name):
     img = render(scene, cam, w, h, spp=spp, max_depth=depth, seed=1024)
     golden = np.load(os.path.join(GOLDEN_DIR, f"{name}.npy"))
     np.testing.assert_allclose(img, golden, rtol=1e-4, atol=1e-5)
+
+
+def _perlin_sky_scene():
+    """two-perlin-spheres geometry under a sky background.
+
+    The shipped scene is faithful to the reference (black background, no
+    emitter, Scenes.hs:211) so its golden is all zeros and regression-blind
+    to the marble path; this variant pins actual Perlin-marble pixel values
+    (VERDICT round 1, weak item 6).
+    """
+    from tpu_ray.models import objects as ob
+    from tpu_ray.models.compile import build_scene
+
+    per = ob.Noise(scale=1.5, seed=1024)
+    world = [
+        ob.Sphere((0, -1000, 0), 1000, ob.Lambertian(per)),
+        ob.Sphere((0, 2, 0), 2, ob.Lambertian(per)),
+    ]
+    return build_scene(world, background=(0.7, 0.8, 0.9))
+
+
+def test_golden_perlin_sky():
+    scene = _perlin_sky_scene()
+    cam = SCENES["two-perlin-spheres"].camera(24, 16)
+    img = render(scene, cam, 24, 16, spp=8, max_depth=6, seed=1024)
+    assert np.asarray(img).mean() > 0.05, "marble render should be lit"
+    golden = np.load(os.path.join(GOLDEN_DIR, "perlin-sky.npy"))
+    np.testing.assert_allclose(img, golden, rtol=1e-4, atol=1e-5)
