@@ -39,3 +39,40 @@ def test_cli_list_scenes():
 def test_cli_rejects_bad_args():
     assert _run("--scene", "nope").returncode == 2
     assert _run("--spp", "0").returncode == 2
+
+
+def test_cli_supervise_recovers_from_crash(tmp_path):
+    """--supervise retries a crashed render; the checkpoint makes the retry
+    resume mid-render and the final image equals an uncrashed run's."""
+    common = ("--scene", "two-spheres", "--width", "12", "--height", "8",
+              "--spp", "8", "--max-depth", "3", "--samples-per-wave", "2",
+              "--rays-per-wave", "96",  # k_pool=1 -> 4 waves of 2 samples
+              "--checkpoint", str(tmp_path / "ck.npz"), "--checkpoint-every", "1")
+    env = dict(os.environ, TPU_RAY_CRASH_AFTER_WAVE="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu",
+         "--supervise", "2", *common],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "injected crash" in r.stderr
+    assert "retry 1/2" in r.stderr
+    assert "resuming at wave 2" in r.stderr
+
+    clean = _run("--scene", "two-spheres", "--width", "12", "--height", "8",
+                 "--spp", "8", "--max-depth", "3", "--samples-per-wave", "2",
+                 "--rays-per-wave", "96")
+    assert clean.returncode == 0
+    assert r.stdout == clean.stdout, "supervised render must be bit-identical"
+
+
+def test_cli_supervise_gives_up():
+    env = dict(os.environ, TPU_RAY_CRASH_AFTER_WAVE="0")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu", "--supervise",
+         "1", "--scene", "two-spheres", "--width", "8", "--height", "8",
+         "--spp", "2", "--max-depth", "2"],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env,
+    )
+    assert r.returncode == 1
+    assert "giving up" in r.stderr

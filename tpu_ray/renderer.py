@@ -388,8 +388,15 @@ def render(
     # 25 waves (minutes of device work) is what crashes the remote worker
     throttle = scene.n_prims > 512
 
+    # fault injection for the supervision tests: a FRESH (non-resumed) run
+    # dies before wave N; a resumed attempt carries on past it
+    crash_after = int(os.environ.get("TPU_RAY_CRASH_AFTER_WAVE", -1))
+
     timer = WaveTimer(enabled=progress)
     for w in range(start_wave, n_waves):
+        if w == crash_after and start_wave == 0:
+            raise RuntimeError(f"injected crash before wave {w} "
+                               "(TPU_RAY_CRASH_AFTER_WAVE)")
         if progress:
             print(f"\rRendering wave {w + 1} of {n_waves}", end="", file=sys.stderr)
         timer.start()

@@ -54,11 +54,57 @@ def build_parser() -> argparse.ArgumentParser:
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--supervise", type=int, default=0, metavar="N",
+                   help="run the render in a child process and retry up to N "
+                        "times if the TPU runtime crashes; long renders "
+                        "auto-checkpoint, so each retry resumes mid-render "
+                        "(the reference keeps finished rows by streaming "
+                        "stdout, app/Main.hs:62 - this keeps finished waves)")
     return p
+
+
+def _supervised(args, argv) -> int:
+    """Re-exec the same render in child processes until one succeeds.
+
+    A crashed child leaves its auto checkpoint behind (renderer.py keys it
+    by the exact render config), so the next identical attempt resumes
+    instead of restarting.  Output contracts hold: a child writes the
+    PPM/PNG only after a successful render, so a crash emits nothing.
+    """
+    import subprocess
+
+    child_argv = [a for a in (argv if argv is not None else sys.argv[1:])]
+    # strip --supervise[=N] and its value so the child renders inline
+    out = []
+    skip = False
+    for a in child_argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            skip = True
+            continue
+        if a.startswith("--supervise="):
+            continue
+        out.append(a)
+    for attempt in range(args.supervise + 1):
+        if attempt:
+            print(f"[supervise] retry {attempt}/{args.supervise} "
+                  "(resuming from auto checkpoint if one was written)",
+                  file=sys.stderr)
+        rc = subprocess.call([sys.executable, "-m", "tpu_ray"] + out)
+        if rc == 0:
+            return 0
+    print(f"[supervise] giving up after {args.supervise + 1} attempts",
+          file=sys.stderr)
+    return 1
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.supervise > 0 and not args.list_scenes:
+        return _supervised(args, argv)
 
     if args.platform:
         import jax
