@@ -32,7 +32,18 @@ from .models.scene_data import SceneData
 # empirically stable lane counts on the remote TPU worker for >512-prim
 # scenes (see plan_pool / the band-tiling logic in render)
 XLA_BIG_SCENE_LANES = 160_000
-PALLAS_BIG_SCENE_LANES = 160_000
+# the Pallas sweep's stability envelope scales as lanes x prims, not lanes:
+# 160k x 3409 ran stable all of round 2, and 320k x 1409 measured 1.5x
+# FASTER than 160k x 1409 (44.4 vs 66.3 s/100spp on next-week, PERFLOG.md)
+# because bigger waves amortize per-wave loop/tail overhead
+PALLAS_LANE_PRIM_BUDGET = 550_000_000
+
+
+def pallas_lane_cap(n_prims: int) -> int:
+    return int(max(160_000,
+                   min(1 << 20, PALLAS_LANE_PRIM_BUDGET // max(n_prims, 1))))
+
+
 # auto-checkpoint renders of at least this many waves so a worker crash
 # loses at most one checkpoint interval (the reference's streamed rows give
 # it the same property for free - app/Main.hs:62)
@@ -86,7 +97,7 @@ def plan_pool(scene, width: int, height: int, spp: int,
         rays_per_wave = min(rays_per_wave, XLA_BIG_SCENE_LANES)
     if engine == "pallas" and scene.n_prims > 512:
         # empirically stable lane count for big-scene kernel waves
-        rays_per_wave = min(rays_per_wave, PALLAS_BIG_SCENE_LANES)
+        rays_per_wave = min(rays_per_wave, pallas_lane_cap(scene.n_prims))
     k_pool = pick_samples_per_wave(width, height, spp, rays_per_wave)
     s_total = spp // k_pool
     lanes = width * height * k_pool
@@ -268,7 +279,8 @@ def render(
     # in horizontal bands so plan_pool's device limits actually hold
     rows = height if _rows is None else _rows
     cap = XLA_BIG_SCENE_LANES if (engine == "xla" and scene.n_prims > 512) else (
-        PALLAS_BIG_SCENE_LANES if (engine == "pallas" and scene.n_prims > 512)
+        pallas_lane_cap(scene.n_prims)
+        if (engine == "pallas" and scene.n_prims > 512)
         else None)
     if cap is not None and width * rows > cap and mode == "pool":
         # bands compose with meshes: each band is rendered (sharded or not)
