@@ -165,6 +165,14 @@ def trace_pool(
             jnp.zeros((R, 3), jnp.float32),
             jnp.full((R,), 1, jnp.int32) * n_samples,
         )
+    if engine == "mega" and bvh is None:
+        # whole-wave Pallas megakernel (ops/megakernel.py); the renderer's
+        # resolve_engine only selects this for supported() scenes
+        from .ops.megakernel import trace_pool_mega
+
+        return trace_pool_mega(scene, camera, s, t, inv_wh, key,
+                               n_samples, sample0, max_depth, cam_salt,
+                               slot_ids=slot_ids)
     n_samples = jnp.asarray(n_samples, jnp.int32)
     isect = _make_isect(scene, bvh, engine)
     k_loop = key

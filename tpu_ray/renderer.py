@@ -70,6 +70,10 @@ def resolve_engine(scene, engine: str = "auto") -> str:
     compile, no (R, C) temporaries, ~1.5x on next-week-final), XLA brute
     force otherwise (wins at reference scene sizes; also the CPU/test path,
     where Pallas would run interpreted)."""
+    if engine == "mega":
+        from .ops.megakernel import supported
+
+        return "mega" if supported(scene) else "xla"
     if engine != "auto":
         return engine
     platform = jax.devices()[0].platform.lower()
@@ -202,6 +206,12 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
         slot_ids=_slot_ids(width, height, k_pool, row0, rows),
     )
     return accum + rad.reshape(k_pool, rows, width, 3).sum(axis=0)
+
+
+# megakernel variant: n_samples must be STATIC (it sizes the in-kernel
+# iteration cap and the precomputed fold_in key table)
+_pool_step_mega = partial(jax.jit, static_argnums=(4, 5, 6, 7, 9, 11, 13, 14),
+                          donate_argnums=0)(_pool_step.__wrapped__)
 
 
 def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
@@ -339,13 +349,20 @@ def render(
         )
         step = _wave_jit
     else:
-        s_wave_arr = jnp.int32(s_wave)
+        if engine == "mega":
+            def step(acc, key, sample0):
+                return _pool_step_mega(
+                    acc, scene, camera, key, width, height, k_pool,
+                    int(s_wave), sample0, max_depth, jnp.uint32(seed),
+                    engine, bvh_arrays, _row0, rows)
+        else:
+            s_wave_arr = jnp.int32(s_wave)
 
-        def step(acc, key, sample0):
-            return _pool_step(acc, scene, camera, key, width, height, k_pool,
-                              s_wave_arr, sample0, max_depth,
-                              jnp.uint32(seed), engine, bvh_arrays,
-                              _row0, rows)
+            def step(acc, key, sample0):
+                return _pool_step(acc, scene, camera, key, width, height,
+                                  k_pool, s_wave_arr, sample0, max_depth,
+                                  jnp.uint32(seed), engine, bvh_arrays,
+                                  _row0, rows)
 
     accum = jnp.zeros((rows, width, 3), jnp.float32)
     start_wave = 0
