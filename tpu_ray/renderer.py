@@ -66,10 +66,11 @@ def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int)
 
 
 def resolve_engine(scene, engine: str = "auto") -> str:
-    """'auto' -> the fused Pallas sweep for >512-prim scenes on TPU (smaller
-    compile, no (R, C) temporaries, ~1.5x on next-week-final), XLA brute
-    force otherwise (wins at reference scene sizes; also the CPU/test path,
-    where Pallas would run interpreted)."""
+    """'auto' -> on TPU: the whole-wave megakernel where supported (small
+    media-free scenes, ops/megakernel.py; cornell 2.2x), else the fused
+    Pallas sweep for >512-prim scenes (~1.5x on next-week-final), else the
+    XLA brute force.  On CPU (the test path): always XLA - Pallas would run
+    interpreted."""
     if engine == "mega":
         from .ops.megakernel import supported
 
@@ -78,7 +79,18 @@ def resolve_engine(scene, engine: str = "auto") -> str:
         return engine
     platform = jax.devices()[0].platform.lower()
     on_tpu = "tpu" in platform or platform == "axon"
-    return "pallas" if (on_tpu and scene.n_prims > 512) else "xla"
+    if not on_tpu:
+        return "xla"
+    from .ops.megakernel import supported
+
+    if supported(scene) and scene.n_lights > 0:
+        # whole-wave megakernel: cornell 11.1 -> 5.0 s.  Auto only for
+        # light-MIS scenes - on trivial 2-prim scenes it measured a slight
+        # loss (two-spheres 2.7 vs 2.4 s) and its one-off Mosaic compile is
+        # minutes through the remote tunnel (PERFLOG.md); --engine mega
+        # remains available for any supported() scene.
+        return "mega"
+    return "pallas" if scene.n_prims > 512 else "xla"
 
 
 def plan_pool(scene, width: int, height: int, spp: int,
