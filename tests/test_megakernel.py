@@ -99,3 +99,19 @@ def test_render_engine_mega_equals_xla():
     close = (err < 1e-4).all(axis=-1)
     assert 1.0 - close.mean() <= 0.01
     np.testing.assert_allclose(a[close], b[close], rtol=2e-4, atol=1e-4)
+
+
+def test_megakernel_composes_with_mesh():
+    """engine='mega' under an 8-device mesh matches the single-device mega
+    render (auto picks mega for light-MIS scenes on TPU, where users also
+    shard - the kernel must work inside shard_map)."""
+    from tpu_ray.parallel.mesh import make_mesh
+
+    spec = SCENES["cornell"]
+    scene = spec.build(seed=1024)
+    cam = spec.camera(16, 16)
+    kwargs = dict(max_depth=6, seed=5, engine="mega")
+    a = np.asarray(render(scene, cam, 16, 16, spp=16, **kwargs))
+    b = np.asarray(render(scene, cam, 16, 16, spp=16, mesh=make_mesh(8),
+                          **kwargs))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
