@@ -45,7 +45,8 @@ def _assert_pool_agreement(ref, got, ref_ns, got_ns, diverged_frac=0.03):
     np.testing.assert_allclose(ref[close], got[close], rtol=2e-4, atol=1e-4)
 
 
-SUPPORTED = ["cornell", "two-spheres", "two-perlin-spheres", "simple-light"]
+SUPPORTED = ["cornell", "two-spheres", "two-perlin-spheres", "simple-light",
+             "cornell-smoke"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)
@@ -79,9 +80,10 @@ def test_megakernel_nonzero_sample0_and_salt():
 
 
 def test_megakernel_unsupported_scenes_detected():
-    smoke = SCENES["cornell-smoke"].build(seed=1024)   # media
-    assert not megakernel.supported(smoke)
-    nw = SCENES["next-week-final"].build(seed=1024)    # media + size
+    img = np.zeros((4, 4, 3), np.uint8)
+    earth = SCENES["earth"].build(seed=1024, earth=img)  # image texture
+    assert not megakernel.supported(earth)
+    nw = SCENES["next-week-final"].build(seed=1024, earth=None)  # 1409 prims
     assert not megakernel.supported(nw)
 
 

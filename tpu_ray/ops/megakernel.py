@@ -27,11 +27,12 @@ core, so a tile whose lanes all die early simply exits its while_loop - the
 straggler tail is paid per 1024 lanes, not per wave (the XLA path needs
 two-level compaction for the same effect).
 
-Scope (supported()): solid prims only (no constant media - their free-flight
-RNG is drawn inside intersection), no image textures (HBM gathers), no
-strict-quirks mode, <= MAX_PRIMS prims (prim+material rows live in SMEM).
-Everything else - all five materials, checker + hash-Perlin marble textures,
-quad/sphere light MIS, moving spheres, defocus/motion blur - runs in-kernel.
+Scope (supported()): no image textures (HBM gathers), no strict-quirks mode,
+<= MAX_PRIMS prims (prim+material rows live in SMEM).  Everything else - all
+five materials, checker + hash-Perlin marble textures, quad/sphere light MIS,
+moving spheres, defocus/motion blur, constant media (free-flight RNG drawn
+in-kernel from the same per-(slot, medium) hash stream as the XLA
+intersector) - runs in-kernel.
 
 Sweep math mirrors ops/intersect.py::_chunk_t and record reconstruction
 mirrors ops/intersect.py::_hit_record; shading mirrors ops/scatter.py,
@@ -56,6 +57,8 @@ from ..models.scene_data import (
     MAT_LAMBERTIAN,
     MAT_METAL,
     PRIM_BOX,
+    PRIM_MEDIUM_BOX,
+    PRIM_MEDIUM_SPHERE,
     PRIM_QUAD,
     PRIM_SPHERE,
     TEX_CHECKER,
@@ -75,11 +78,9 @@ GOLD = np.uint32(0x9E3779B9)
 def supported(scene: SceneData) -> bool:
     """Scenes the megakernel can run (renderer falls back to XLA otherwise)."""
     return (
-        not scene.has_media
-        and not scene.has_image
+        not scene.has_image
         and not scene.checker_fancy
         and not scene.strict
-        and scene.n_solid == scene.n_prims
         and 0 < scene.n_prims <= MAX_PRIMS
     )
 
@@ -240,13 +241,16 @@ def _marble(salt, scale, px, py, pz):
 
 # --- prim/material row table layout (SMEM) ---------------------------------
 # f32 cols: 0 kind | 2:5 A | 5:8 B | 8 C | 9 D | 10:13 E | 13:16 F
-#   sphere: A center, B velocity, C time0, D radius
-#   quad:   A p0, B n, C plane d, E inv1, F inv2
-#   box:    A box_min, B box_max
+#   sphere:     A center, B velocity, C time0, D radius
+#   quad:       A p0, B n, C plane d, E inv1, F inv2
+#   box:        A box_min, B box_max
+#   medium:     A center (sphere boundary) / object-frame box_min (box
+#               boundary), B box_max, C -1/density, D radius, E xf_off,
+#               30:39 xf_rot row-major (world_from_object)
 # material (merged so the sweep carries shading rows with the hit):
 #   16 mkind | 17 fuzz | 18 ref_idx | 19 tex_kind | 20:23 color
 #   | 23:26 odd | 26:29 even | 29 perlin scale
-PRIM_COLS = 30
+PRIM_COLS = 39
 
 
 def _build_tables(scene: SceneData):
@@ -255,19 +259,24 @@ def _build_tables(scene: SceneData):
     geo = jnp.zeros((n, PRIM_COLS), jnp.float32)
     kind = p.kind[:n].astype(jnp.float32)
     is_q = p.kind[:n] == PRIM_QUAD
-    is_b = p.kind[:n] == PRIM_BOX
+    is_b = (p.kind[:n] == PRIM_BOX) | (p.kind[:n] == PRIM_MEDIUM_BOX)
+    is_m = p.kind[:n] >= PRIM_MEDIUM_SPHERE
     A = jnp.where(is_q[:, None], p.quad_p0[:n],
                   jnp.where(is_b[:, None], p.box_min[:n], p.center[:n]))
     B = jnp.where(is_q[:, None], p.quad_n[:n],
                   jnp.where(is_b[:, None], p.box_max[:n], p.velocity[:n]))
-    C = jnp.where(is_q, p.quad_d[:n], p.time0[:n])
+    C = jnp.where(is_m, p.neg_inv_density[:n],
+                  jnp.where(is_q, p.quad_d[:n], p.time0[:n]))
+    E = jnp.where(is_m[:, None], p.xf_off[:n], p.quad_inv1[:n])
     geo = geo.at[:, 0].set(kind)
     geo = geo.at[:, 2:5].set(A)
     geo = geo.at[:, 5:8].set(B)
     geo = geo.at[:, 8].set(C)
     geo = geo.at[:, 9].set(p.radius[:n])
-    geo = geo.at[:, 10:13].set(p.quad_inv1[:n])
+    geo = geo.at[:, 10:13].set(E)
     geo = geo.at[:, 13:16].set(p.quad_inv2[:n])
+    geo = geo.at[:, 30:39].set(
+        jnp.where(is_m[:, None], p.xf_rot[:n].reshape(n, 9), 0.0))
     mp = scene.mat_payload[p.mat[:n]]        # (n, 16) host-side row pull
     geo = geo.at[:, 16:30].set(mp[:, 0:14])
     # per-prim perlin salt (texs.perlin_salt[perlin_id]); 0 when unused
@@ -494,6 +503,77 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         if n_solid > n_sb:
             val = jax.lax.fori_loop(n_sb, n_solid, quad_step, val)
         bt, st = val
+
+        if scene.n_prims > n_solid:
+            # constant media (mirror ops/intersect.py::_chunk_t media
+            # section, src/Lib.hs:1053-1080): few rows, unrolled with static
+            # indices; the free-flight uniform comes from the intersect
+            # key's per-(slot, medium) hash stream (rng.lane_uniforms)
+            ki0, ki1 = krow[0, 2], krow[0, 3]
+            base_i = _fmix(slot + ki0) ^ ki1
+            dlen = jnp.sqrt(a)
+            for i in range(n_solid, scene.n_prims):
+                # sphere boundary: both quadratic roots, unclamped
+                ocx, ocy, ocz = o[0] - g(i, 2), o[1] - g(i, 3), o[2] - g(i, 4)
+                b = ocx * d[0] + ocy * d[1] + ocz * d[2]
+                c = ocx * ocx + ocy * ocy + ocz * ocz - g(i, 9) ** 2
+                disc = b * b - a * c
+                sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                te = (-b - sd) * inv_a
+                tx = (-b + sd) * inv_a
+                exists = disc > 0.0
+                if scene.has_box_media:
+                    # box boundary: slab test in the box's object frame
+                    if scene.any_transform:
+                        wx = o[0] - g(i, 10)
+                        wy = o[1] - g(i, 11)
+                        wz = o[2] - g(i, 12)
+                        # x_o = R^T (x_w - off); rot rows at cols 30:39
+                        rox_o = wx * g(i, 30) + wy * g(i, 33) + wz * g(i, 36)
+                        roy_o = wx * g(i, 31) + wy * g(i, 34) + wz * g(i, 37)
+                        roz_o = wx * g(i, 32) + wy * g(i, 35) + wz * g(i, 38)
+                        rdx_o = d[0] * g(i, 30) + d[1] * g(i, 33) + d[2] * g(i, 36)
+                        rdy_o = d[0] * g(i, 31) + d[1] * g(i, 34) + d[2] * g(i, 37)
+                        rdz_o = d[0] * g(i, 32) + d[1] * g(i, 35) + d[2] * g(i, 38)
+                    else:
+                        rox_o, roy_o, roz_o = o
+                        rdx_o, rdy_o, rdz_o = d
+                    ix, iy, iz = 1.0 / rdx_o, 1.0 / rdy_o, 1.0 / rdz_o
+                    tax = (g(i, 2) - rox_o) * ix
+                    tbx = (g(i, 5) - rox_o) * ix
+                    tay = (g(i, 3) - roy_o) * iy
+                    tby = (g(i, 6) - roy_o) * iy
+                    taz = (g(i, 4) - roz_o) * iz
+                    tbz = (g(i, 7) - roz_o) * iz
+                    te_b = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tax, tbx),
+                                    jnp.minimum(tay, tby)),
+                        jnp.minimum(taz, tbz))
+                    tx_b = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tax, tbx),
+                                    jnp.maximum(tay, tby)),
+                        jnp.maximum(taz, tbz))
+                    is_sphm = g(i, 0) == f32(PRIM_MEDIUM_SPHERE)
+                    te = jnp.where(is_sphm, te, te_b)
+                    tx = jnp.where(is_sphm, tx, tx_b)
+                    exists = jnp.where(is_sphm, exists, tx_b > te_b)
+                # second boundary probe starts at entry + eps
+                exists = exists & (tx > te + f32(1e-4))
+                rec1 = jnp.maximum(t_min, te)
+                u_m = _hash_col(base_i, i - n_solid)
+                hit_dist = g(i, 8) * jnp.log(jnp.maximum(u_m, f32(1e-12)))
+                ok_m = exists & (rec1 < tx) & (hit_dist <= (tx - rec1) * dlen)
+                t = jnp.where(ok_m, rec1 + hit_dist / dlen, INF)
+                closer = t < bt
+                st = carry_rows(i, closer, st)
+                (kv, c0, c1, c2, c3), rest = st[:5], st[5:]
+                one = jnp.ones_like(xs)
+                c0 = sel(closer, one, c0)
+                c1 = sel(closer, zero, c1)
+                c2 = sel(closer, zero, c2)
+                c3 = sel(closer, one, c3)
+                st = (kv, c0, c1, c2, c3) + rest
+                bt = jnp.where(closer, t, bt)
         (kv, c0, c1, c2, c3, mk, fz, ri, tk, col0, col1, col2,
          od0, od1, od2, ev0, ev1, ev2, psc, psalt) = st
 
@@ -506,11 +586,18 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         kind_i = kv.astype(jnp.int32)
         mx_r = jnp.maximum(c3, 1e-12)
         n_vec = ((px - c0) / mx_r, (py - c1) / mx_r, (pz - c2) / mx_r)
-        if scene.has_quads or scene.has_solid_box:
+        if scene.has_quads or scene.has_solid_box or scene.has_media:
             is_sph = kind_i == PRIM_SPHERE
             n_vec = _where3(is_sph, n_vec, (c0, c1, c2))
         front = _dot(d, n_vec) < 0.0
         n_vec = _where3(front, n_vec, (-n_vec[0], -n_vec[1], -n_vec[2]))
+        if scene.has_media:
+            # medium hits: fixed (1,0,0) normal, front face
+            # (src/Lib.hs:1073-1079; ops/intersect.py::_hit_record)
+            is_med = kind_i >= PRIM_MEDIUM_SPHERE
+            n_vec = _where3(is_med,
+                            (jnp.ones_like(xs), zero, zero), n_vec)
+            front = front | is_med
 
         # ---- scatter (mirror ops/scatter.py + textures + lights) ----
         mkind = mk.astype(jnp.int32)
@@ -710,10 +797,15 @@ def trace_pool_mega(scene: SceneData, camera, s, t, inv_wh, key, n_samples,
     iter_cap = n_samples * max_depth + max_depth
 
     def kw(it):
+        # cols 0:2 = scatter key words (fold_in(kb, 1)), cols 2:4 = intersect
+        # key words (fold_in(kb, 0), feeds the media free-flight draws) -
+        # mirror trace_pool.body's two stream keys
         kb = jax.random.fold_in(key, it)
-        return jax.random.key_data(jax.random.fold_in(kb, 1)).astype(jnp.uint32)
+        ks = jax.random.key_data(jax.random.fold_in(kb, 1)).astype(jnp.uint32)
+        ki = jax.random.key_data(jax.random.fold_in(kb, 0)).astype(jnp.uint32)
+        return jnp.concatenate([ks.reshape(-1)[:2], ki.reshape(-1)[:2]])
 
-    keys = jax.vmap(kw)(jnp.arange(iter_cap)).reshape(iter_cap, -1)[:, :2]
+    keys = jax.vmap(kw)(jnp.arange(iter_cap)).reshape(iter_cap, 4)
 
     geo, salt, lights = _build_tables(scene)
     scal = jnp.stack([jnp.asarray(sample0, jnp.uint32),

@@ -67,10 +67,10 @@ def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int)
 
 def resolve_engine(scene, engine: str = "auto") -> str:
     """'auto' -> on TPU: the whole-wave megakernel where supported (small
-    media-free scenes, ops/megakernel.py; cornell 2.2x), else the fused
-    Pallas sweep for >512-prim scenes (~1.5x on next-week-final), else the
-    XLA brute force.  On CPU (the test path): always XLA - Pallas would run
-    interpreted."""
+    image-free scenes incl. constant media, ops/megakernel.py; cornell
+    2.2x), else the fused Pallas sweep for >512-prim scenes (~1.5x on
+    next-week-final), else the XLA brute force.  On CPU (the test path):
+    always XLA - Pallas would run interpreted."""
     if engine == "mega":
         from .ops.megakernel import supported
 
