@@ -19,6 +19,7 @@ BASELINES = {
     "book1": 617.61,       # 600x400 @ 100 spp, 2 cores
     "two-spheres": 45.43,  # 600x400 @ 100 spp, -N2, random-1.2
     "cornell": None,       # image published, no time given
+    "cornell-smoke": None,  # image published, no time given
     "next-week": 6874.0,   # 1h54m34s at 400x400 (4 threads)
 }
 
@@ -26,6 +27,8 @@ CONFIGS = {
     "book1": dict(scene="book1-final", width=600, height=400, spp=100),
     "two-spheres": dict(scene="two-spheres", width=600, height=400, spp=100),
     "cornell": dict(scene="cornell", width=500, height=500, spp=1000),
+    "cornell-smoke": dict(scene="cornell-smoke", width=500, height=500,
+                          spp=1000),
     "next-week": dict(scene="next-week-final", width=400, height=400, spp=100),
 }
 

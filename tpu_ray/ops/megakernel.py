@@ -553,10 +553,13 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
                         jnp.minimum(jnp.maximum(tax, tbx),
                                     jnp.maximum(tay, tby)),
                         jnp.maximum(taz, tbz))
-                    is_sphm = g(i, 0) == f32(PRIM_MEDIUM_SPHERE)
+                    # vector mask: Mosaic cannot legalize a scalar-predicate
+                    # select over i1 vectors (arith.select fault on hardware)
+                    is_sphm = jnp.full_like(xs, g(i, 0)) \
+                        == f32(PRIM_MEDIUM_SPHERE)
                     te = jnp.where(is_sphm, te, te_b)
                     tx = jnp.where(is_sphm, tx, tx_b)
-                    exists = jnp.where(is_sphm, exists, tx_b > te_b)
+                    exists = (is_sphm & exists) | (~is_sphm & (tx_b > te_b))
                 # second boundary probe starts at entry + eps
                 exists = exists & (tx > te + f32(1e-4))
                 rec1 = jnp.maximum(t_min, te)
