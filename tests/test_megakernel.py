@@ -46,7 +46,7 @@ def _assert_pool_agreement(ref, got, ref_ns, got_ns, diverged_frac=0.03):
 
 
 SUPPORTED = ["cornell", "two-spheres", "two-perlin-spheres", "simple-light",
-             "cornell-smoke"]
+             "cornell-smoke", "book1-final"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)

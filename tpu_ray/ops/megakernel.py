@@ -68,7 +68,8 @@ from ..models.scene_data import (
 
 TILE_S, TILE_L = 8, 128          # one (8, 128) f32 vreg per state field
 TILE = TILE_S * TILE_L
-MAX_PRIMS = 64                   # SMEM row-table budget (cornell: 13)
+MAX_PRIMS = 512                  # SMEM row-table budget (cornell: 13,
+                                 # book1: 485 = 76 KB of SMEM rows)
 INF = np.float32(np.inf)
 TWO_PI = np.float32(2.0 * np.pi)
 INV_PI = np.float32(1.0 / np.pi)

@@ -83,12 +83,15 @@ def resolve_engine(scene, engine: str = "auto") -> str:
         return "xla"
     from .ops.megakernel import supported
 
-    if supported(scene) and scene.n_lights > 0:
+    if supported(scene) and scene.n_lights > 0 and scene.n_prims <= 64:
         # whole-wave megakernel: cornell 11.1 -> 5.0 s.  Auto only for
-        # light-MIS scenes - on trivial 2-prim scenes it measured a slight
-        # loss (two-spheres 2.7 vs 2.4 s) and its one-off Mosaic compile is
-        # minutes through the remote tunnel (PERFLOG.md); --engine mega
-        # remains available for any supported() scene.
+        # light-MIS scenes with few prims - on trivial 2-prim scenes it
+        # measured a slight loss (two-spheres 2.7 vs 2.4 s), at 485 prims a
+        # 2.2x loss (book1, PERFLOG.md: the in-loop winner-row carry costs
+        # ~20 vector selects per prim per bounce, so the wavefront sweep +
+        # one-hot payload pull wins at large N), and its one-off Mosaic
+        # compile is minutes through the remote tunnel; --engine mega
+        # remains available for any supported() scene (<= 512 prims).
         return "mega"
     return "pallas" if scene.n_prims > 512 else "xla"
 
