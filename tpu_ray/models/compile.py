@@ -472,15 +472,21 @@ def build_scene(
     if tables.images:
         hmax = max(im.shape[0] for im in tables.images)
         wmax = max(im.shape[1] for im in tables.images)
-        atlas = np.zeros((len(tables.images), hmax, wmax, 3), np.float32)
+        # one packed R|G<<8|B<<16 word per texel: the per-lane texture fetch
+        # is then ONE uint32 gather + VPU unpack instead of a 3-wide f32 row
+        # gather (5.2 -> 3.5 ms per 390k-lane wave, PERFLOG.md round 2).
+        # colorToAlbedo applies /255 with no gamma decode at sample time
+        # (src/Lib.hs:294-297); sources are 8-bit so packing is lossless.
+        atlas = np.zeros((len(tables.images), hmax, wmax), np.uint32)
         sizes = np.zeros((len(tables.images), 2), np.int32)
         for idx, im in enumerate(tables.images):
             h, w = im.shape[:2]
-            # colorToAlbedo: /255, no gamma decode (src/Lib.hs:294-297)
-            atlas[idx, :h, :w] = im[..., :3].astype(np.float32) / 255.0
+            rgb = im[..., :3].astype(np.uint32)
+            atlas[idx, :h, :w] = (rgb[..., 0] | (rgb[..., 1] << 8)
+                                  | (rgb[..., 2] << 16))
             sizes[idx] = (w, h)
     else:
-        atlas = np.zeros((1, 1, 1, 3), np.float32)
+        atlas = np.zeros((1, 1, 1), np.uint32)
         sizes = np.ones((1, 2), np.int32)
     texs = TextureArrays(
         kind=np.asarray(np.array(tk, np.int32)),

@@ -110,8 +110,11 @@ class TextureArrays:
     # hash instead (ops/textures.py), so noise costs ALU, not 224 serial
     # gathers per marble evaluation (PERFLOG.md round 2)
     perlin_salt: jnp.ndarray  # (P,) uint32
-    # image atlas (all images padded to a common size)
-    img_atlas: jnp.ndarray   # (I, Hmax, Wmax, 3) float32 in [0, 1]
+    # image atlas (all images padded to a common size).  Texels are packed
+    # R|G<<8|B<<16 so the per-lane fetch is one scalar gather; unpack is
+    # byte * (1/255), within 1 ulp of the former byte/255 f32 rows
+    # (ops/textures.py::image_value_from)
+    img_atlas: jnp.ndarray   # (I, Hmax, Wmax) uint32 packed 8-bit RGB
     img_size: jnp.ndarray    # (I, 2) int32 (width, height)
 
 

@@ -107,12 +107,26 @@ def _image_value(scene: SceneData, tex_id, u, v):
 
 
 def image_value_from(scene: SceneData, iid, u, v):
-    """Image lookup with the reference's clamping and v-flip (src/Lib.hs:504-509)."""
+    """Image lookup with the reference's clamping and v-flip (src/Lib.hs:504-509).
+
+    The atlas packs each texel's 8-bit RGB into one uint32
+    (models/compile.py), so the per-lane fetch is a single scalar gather -
+    measured 3.5 vs 5.2 ms per 390k-lane wave for the 3-wide f32 row gather
+    (PERFLOG.md round 2).  colorToAlbedo's /255 (src/Lib.hs:294-297) is
+    applied on unpack as byte * (1/255): within 1 ulp of byte/255.
+    """
     size = scene.texs.img_size[iid].astype(jnp.float32)  # (R, 2) = (w, h)
     nx, ny = size[..., 0], size[..., 1]
     i = jnp.floor(jnp.clip(u * nx, 0.0, nx - _EPS)).astype(jnp.int32)
     j = jnp.floor(jnp.clip((1.0 - v) * ny - _EPS, 0.0, ny - _EPS)).astype(jnp.int32)
-    return scene.texs.img_atlas[iid, j, i]
+    w = scene.texs.img_atlas[iid, j, i]                  # (R,) packed RGB
+    s = jnp.float32(1.0 / 255.0)
+    byte = jnp.uint32(0xFF)
+    return jnp.stack([
+        (w & byte).astype(jnp.float32) * s,
+        ((w >> jnp.uint32(8)) & byte).astype(jnp.float32) * s,
+        ((w >> jnp.uint32(16)) & byte).astype(jnp.float32) * s,
+    ], axis=-1)
 
 
 def _base_value(scene: SceneData, tex_id, u, v, p):
