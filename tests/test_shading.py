@@ -72,6 +72,31 @@ def test_image_texture_corners():
     np.testing.assert_allclose(val[3], [1, 1, 0], atol=1e-6)
 
 
+def test_image_texture_random_vs_numpy_oracle():
+    """Packed-u32 atlas lookup == the reference formula on a random image.
+
+    Oracle mirrors src/Lib.hs:504-509 (clamped index, v flip) with float64
+    index math and byte/255 albedo; the packed path's byte*(1/255) unpack
+    must match within 1 ulp (models/compile.py atlas packing).
+    """
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    scene = _tex_scene(ob.ImageTexture(img))
+    n = 512
+    u = jnp.asarray(rng.uniform(-0.2, 1.2, n), jnp.float32)  # incl. clamps
+    v = jnp.asarray(rng.uniform(-0.2, 1.2, n), jnp.float32)
+    tid = jnp.zeros(n, jnp.int32)
+    got = np.asarray(texture_value(scene, tid, u, v, jnp.zeros((n, 3))))
+    h, w = img.shape[:2]
+    uf = np.asarray(u, np.float32)
+    vf = np.asarray(v, np.float32)
+    eps = np.float32(1e-4)
+    i = np.floor(np.clip(uf * w, 0.0, w - eps)).astype(np.int32)
+    j = np.floor(np.clip((1.0 - vf) * h - eps, 0.0, h - eps)).astype(np.int32)
+    want = img[j, i].astype(np.float64) / 255.0
+    np.testing.assert_allclose(got, want, atol=1.5e-7)
+
+
 def test_missing_image_is_cyan():
     scene = _tex_scene(ob.ImageTexture(None))
     val = np.asarray(texture_value(scene, jnp.zeros(1, jnp.int32), jnp.zeros(1),

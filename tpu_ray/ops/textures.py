@@ -119,7 +119,14 @@ def image_value_from(scene: SceneData, iid, u, v):
     nx, ny = size[..., 0], size[..., 1]
     i = jnp.floor(jnp.clip(u * nx, 0.0, nx - _EPS)).astype(jnp.int32)
     j = jnp.floor(jnp.clip((1.0 - v) * ny - _EPS, 0.0, ny - _EPS)).astype(jnp.int32)
-    w = scene.texs.img_atlas[iid, j, i]                  # (R,) packed RGB
+    # single linear index into the flattened atlas: a one-index-vector 1-D
+    # gather compiles to a much cheaper op than the (iid, j, i) triple-index
+    # form (the three index vectors get concatenated/transposed into an
+    # (R, 3) tensor and the gather loses its fast path)
+    atlas = scene.texs.img_atlas
+    I, H, W = atlas.shape
+    lin = (iid * jnp.int32(H) + j) * jnp.int32(W) + i
+    w = atlas.reshape(-1)[lin]                           # (R,) packed RGB
     s = jnp.float32(1.0 / 255.0)
     byte = jnp.uint32(0xFF)
     return jnp.stack([
