@@ -34,6 +34,28 @@ from .ops.scatter import scatter
 COMPACT_MIN = 1 << 14
 COMPACT_FRACTION = 8
 
+# Fused Pallas shading (ops/shade_pallas.py): record + texture + scatter in
+# one kernel.  "auto" enables it on TPU for supported scenes (draws are
+# bit-identical to the XLA path; values agree to fp-reassociation level,
+# like the sweep engines); "on" forces it (tests run it interpreted on
+# CPU); "off" disables.  Override with TPU_RAY_SHADE or the CLI --shade.
+import os as _os
+
+FUSED_SHADING = _os.environ.get("TPU_RAY_SHADE", "auto")
+
+
+def _use_fused_shading(scene, bvh, engine: str) -> bool:
+    if FUSED_SHADING == "off":
+        return False
+    from .ops import shade_pallas
+
+    ok = (bvh is None and engine in ("xla", "pallas")
+          and shade_pallas.supported(scene))
+    if FUSED_SHADING == "on":
+        return ok
+    platform = jax.devices()[0].platform.lower()
+    return ok and ("tpu" in platform or platform == "axon")
+
 
 def _make_isect(scene, bvh, engine="xla"):
     if bvh is None:
@@ -175,6 +197,10 @@ def trace_pool(
                                slot_ids=slot_ids)
     n_samples = jnp.asarray(n_samples, jnp.int32)
     isect = _make_isect(scene, bvh, engine)
+    fused = _use_fused_shading(scene, bvh, engine)
+    if fused:
+        from .ops.intersect import intersect_ti
+        from .ops.shade_pallas import hit_scatter_pallas
     k_loop = key
     if slot_ids is None:
         slot_ids = jnp.arange(R, dtype=jnp.uint32)
@@ -213,10 +239,21 @@ def trace_pool(
 
         def body(st: _PoolState) -> _PoolState:
             kb = jax.random.fold_in(k_loop, st.iteration)
-            rec = isect(st.origin, st.direction, st.time,
-                        jax.random.fold_in(kb, 0), slot_ids_loc)
-            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction, rec,
-                         slot_ids_loc)
+            if fused:
+                # same two key streams, same draws - one Pallas kernel for
+                # record + textures + scatter (ops/shade_pallas.py)
+                bt, bi = intersect_ti(
+                    scene, st.origin, st.direction, st.time,
+                    jax.random.fold_in(kb, 0), engine=engine,
+                    lane_ids=slot_ids_loc)
+                rec, sc = hit_scatter_pallas(
+                    scene, st.origin, st.direction, st.time, bt, bi,
+                    jax.random.fold_in(kb, 1), slot_ids_loc)
+            else:
+                rec = isect(st.origin, st.direction, st.time,
+                            jax.random.fold_in(kb, 0), slot_ids_loc)
+                sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction,
+                             rec, slot_ids_loc)
 
             miss = st.active & ~rec.hit
             emit = st.active & rec.hit & ~sc.scattered

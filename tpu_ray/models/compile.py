@@ -617,6 +617,12 @@ def build_scene(
         checker_fancy=checker_fancy,
         has_perlin=TEX_PERLIN in tex_kinds,
         has_image=TEX_IMAGE in tex_kinds,
+        # static: an image texture on an emissive material would break the
+        # fused shading kernel's deferred-albedo linearity
+        # (ops/shade_pallas.py::supported)
+        image_on_emissive=bool(np.any(
+            (np.array(mk) == MAT_DIFFUSE_LIGHT)
+            & (tk_a[mt_a] == TEX_IMAGE))),
         t_min=float(t_min),
     )
     # ONE batched host->device transfer for the whole scene pytree: per-leaf

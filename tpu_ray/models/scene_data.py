@@ -192,6 +192,9 @@ class SceneData:
     checker_fancy: bool = struct.field(pytree_node=False, default=False)
     has_perlin: bool = struct.field(pytree_node=False, default=False)
     has_image: bool = struct.field(pytree_node=False, default=False)
+    # an image texture on a DiffuseLight (breaks the fused shading kernel's
+    # deferred-albedo linearity - ops/shade_pallas.py::supported)
+    image_on_emissive: bool = struct.field(pytree_node=False, default=False)
     # default minimum hit distance; the reference uses 1e-4 in double
     # precision (src/Lib.hs:76-77), float32 needs more at large scene scale
     t_min: float = struct.field(pytree_node=False, default=1e-3)

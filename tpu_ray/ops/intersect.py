@@ -200,6 +200,18 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
     ``engine="pallas"`` runs the solid-primitive sweep as a fused Pallas
     kernel (media keep the XLA path and are min-combined).
     """
+    best_t, best_i = intersect_ti(scene, ro, rd, rt, key, t_max, engine,
+                                  lane_ids)
+    return _hit_record(scene, ro, rd, rt, best_t, best_i)
+
+
+def intersect_ti(scene: SceneData, ro, rd, rt, key, t_max=INF,
+                 engine: str = "xla", lane_ids=None):
+    """(best_t, best_i) of the closest hit, without the record rebuild.
+
+    The fused Pallas shading kernel (ops/shade_pallas.py) consumes this
+    directly and rebuilds the record in-kernel.
+    """
     n = scene.n_prims
     t_min = jnp.float32(scene.t_min)
     R = ro.shape[0]
@@ -332,7 +344,7 @@ def intersect_scene(scene: SceneData, ro, rd, rt, key, t_max=INF,
                  do_boxes=False)
     best_t, best_i = best
 
-    return _hit_record(scene, ro, rd, rt, best_t, best_i)
+    return best_t, best_i
 
 
 def _hit_record(scene: SceneData, ro, rd, rt, t, idx) -> HitRecord:

@@ -251,7 +251,9 @@ def _marble(salt, scale, px, py, pz):
 # material (merged so the sweep carries shading rows with the hit):
 #   16 mkind | 17 fuzz | 18 ref_idx | 19 tex_kind | 20:23 color
 #   | 23:26 odd | 26:29 even | 29 perlin scale
-PRIM_COLS = 39
+#   | 39 image_id (f32-exact int; used only by ops/shade_pallas.py - the
+#     megakernel itself rejects image scenes)
+PRIM_COLS = 40
 
 
 def _build_tables(scene: SceneData):
@@ -270,6 +272,7 @@ def _build_tables(scene: SceneData):
                   jnp.where(is_q, p.quad_d[:n], p.time0[:n]))
     E = jnp.where(is_m[:, None], p.xf_off[:n], p.quad_inv1[:n])
     geo = geo.at[:, 0].set(kind)
+    geo = geo.at[:, 1].set(p.mat[:n].astype(jnp.float32))  # shade_pallas
     geo = geo.at[:, 2:5].set(A)
     geo = geo.at[:, 5:8].set(B)
     geo = geo.at[:, 8].set(C)
@@ -280,6 +283,7 @@ def _build_tables(scene: SceneData):
         jnp.where(is_m[:, None], p.xf_rot[:n].reshape(n, 9), 0.0))
     mp = scene.mat_payload[p.mat[:n]]        # (n, 16) host-side row pull
     geo = geo.at[:, 16:30].set(mp[:, 0:14])
+    geo = geo.at[:, 39].set(mp[:, 15])       # image_id (shade_pallas)
     # per-prim perlin salt (texs.perlin_salt[perlin_id]); 0 when unused
     if scene.has_perlin:
         salt = scene.texs.perlin_salt[mp[:, 14].astype(jnp.int32)]

@@ -35,7 +35,10 @@ XLA_BIG_SCENE_LANES = 160_000
 # the Pallas sweep's stability envelope scales as lanes x prims, not lanes:
 # 160k x 3409 ran stable all of round 2, and 320k x 1409 measured 1.5x
 # FASTER than 160k x 1409 (44.4 vs 66.3 s/100spp on next-week, PERFLOG.md)
-# because bigger waves amortize per-wave loop/tail overhead
+# because bigger waves amortize per-wave loop/tail overhead.  Doubling
+# again to 640k x 1409 ran stable too but measured 6% SLOWER at the full
+# bench config same-day (48.6 vs 45.7 s; compaction sorts and state
+# working-set grow superlinearly) - 550M is the measured sweet spot.
 PALLAS_LANE_PRIM_BUDGET = 550_000_000
 
 
@@ -124,12 +127,16 @@ def plan_pool(scene, width: int, height: int, spp: int,
     # remote worker crashes under multi-second sustained executions;
     # empirically a 160k-lane x 3409-prim x 4-sample wave ~9s dies, ~2s
     # survives).  The cost model is anchored on a measurement, not flops:
-    # one SAMPLE costs ~avg_path_len (~7) masked sweep iterations, and a
-    # 160k-lane x 3409-prim x 1-sample wave measured ~2.3s (PERFLOG.md), so
-    # per (lane*prim*sample) ~= 4.2e-9 s.  Small scenes keep a generous cap
+    # one SAMPLE costs ~avg_path_len (~7) masked sweep iterations.  The
+    # constant is recalibrated to the measured post-optimization rate: a
+    # 320k-lane x 1409-prim x 1-sample wave runs 0.91s (45.7s/50 waves at
+    # the full next-week bench, PERFLOG.md round 2) = 2.0e-9 s per
+    # (lane*prim*sample); the prior 4.2e-9 (measured pre box-collapse /
+    # hash-perlin) pessimistically forced 1-sample waves, paying the
+    # straggler tail 50x instead of 25x.  Small scenes keep a generous cap
     # that never binds at reference sizes.
     if scene.n_prims > 512:
-        time_budget_s, per_lane_prim_sample_s = 2.5, 4.2e-9
+        time_budget_s, per_lane_prim_sample_s = 2.5, 2.0e-9
         s_budget = max(1, int(
             time_budget_s / (lanes * max(scene.n_prims, 1)
                              * per_lane_prim_sample_s)))

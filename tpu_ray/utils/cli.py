@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
     p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas", "mega"),
                    help="solid-primitive intersect engine")
+    p.add_argument("--shade", default="auto", choices=("auto", "on", "off"),
+                   help="fused Pallas shading kernel (record+texture+scatter "
+                        "in one launch, ops/shade_pallas.py); auto = on for "
+                        "supported scenes on TPU")
     p.add_argument("--mode", default="pool", choices=("pool", "wave"),
                    help="integrator: regenerating ray pool (fast) or plain wavefront")
     p.add_argument("--estimator", default="fixed", choices=("fixed", "reference"),
@@ -131,6 +135,11 @@ def main(argv=None) -> int:
         print("--spp/--width/--height must be >= 1 and --max-depth >= 0",
               file=sys.stderr)
         return 2
+
+    if args.shade != "auto":
+        from .. import integrator
+
+        integrator.FUSED_SHADING = args.shade
 
     spec = SCENES[args.scene]
     earth = load_earth_image(args.earthmap)
