@@ -127,16 +127,19 @@ def plan_pool(scene, width: int, height: int, spp: int,
     # remote worker crashes under multi-second sustained executions;
     # empirically a 160k-lane x 3409-prim x 4-sample wave ~9s dies, ~2s
     # survives).  The cost model is anchored on a measurement, not flops:
-    # one SAMPLE costs ~avg_path_len (~7) masked sweep iterations.  The
-    # constant is recalibrated to the measured post-optimization rate: a
-    # 320k-lane x 1409-prim x 1-sample wave runs 0.91s (45.7s/50 waves at
-    # the full next-week bench, PERFLOG.md round 2) = 2.0e-9 s per
-    # (lane*prim*sample); the prior 4.2e-9 (measured pre box-collapse /
-    # hash-perlin) pessimistically forced 1-sample waves, paying the
-    # straggler tail 50x instead of 25x.  Small scenes keep a generous cap
-    # that never binds at reference sizes.
+    # one SAMPLE costs ~avg_path_len (~7) masked sweep iterations.
+    # Measured (PERFLOG.md round 2, next-week 320k lanes): 1-sample waves
+    # are FASTEST despite paying the straggler tail per wave - s_wave=2
+    # measured 49.3 vs 45.7 s with XLA shading, s_wave=5 measured 13.8 vs
+    # 12.3 s with fused shading (longer waves lose more to declining
+    # occupancy than they save in tails; compaction only runs between
+    # run_until levels, not between samples).  The 4.2e-9 constant keeps
+    # s_budget at 1 for reference-scale big scenes AND keeps the per-wave
+    # device time under the remote worker watchdog (a 160k x 3409 x
+    # 4-sample wave ~9s dies, ~2s survives).  Small scenes keep a generous
+    # cap that never binds at reference sizes.
     if scene.n_prims > 512:
-        time_budget_s, per_lane_prim_sample_s = 2.5, 2.0e-9
+        time_budget_s, per_lane_prim_sample_s = 2.5, 4.2e-9
         s_budget = max(1, int(
             time_budget_s / (lanes * max(scene.n_prims, 1)
                              * per_lane_prim_sample_s)))
