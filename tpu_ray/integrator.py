@@ -20,7 +20,7 @@ add later is 0.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -160,6 +160,12 @@ def trace_pool(
     bvh=None,                  # optional BVHArrays for traversal
     engine: str = "xla",       # "xla" | "pallas" solid-prim sweep
     slot_ids=None,             # (R,) uint32 GLOBAL slot ids (default arange)
+    shade: Optional[str] = None,  # "fused" | "xla" | None = resolve here.
+    # Callers that jit trace_pool (renderer._pool_step) MUST resolve this
+    # OUTSIDE the jit and pass it as a static argument - the module-level
+    # FUSED_SHADING knob read at trace time is not part of any jit cache
+    # key, so toggling it between calls would silently reuse the stale
+    # executable.
 ):
     """Ray-pool path tracing with immediate path regeneration.
 
@@ -197,7 +203,8 @@ def trace_pool(
                                slot_ids=slot_ids)
     n_samples = jnp.asarray(n_samples, jnp.int32)
     isect = _make_isect(scene, bvh, engine)
-    fused = _use_fused_shading(scene, bvh, engine)
+    fused = (_use_fused_shading(scene, bvh, engine) if shade is None
+             else shade == "fused")
     if fused:
         from .ops.intersect import intersect_ti
         from .ops.shade_pallas import hit_scatter_pallas

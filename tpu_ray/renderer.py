@@ -212,10 +212,11 @@ def _slot_ids(width: int, height: int, k: int, row0: int = 0,
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11, 13, 14), donate_argnums=0)
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11, 13, 14, 15),
+         donate_argnums=0)
 def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
                sample0, max_depth, cam_salt=0, engine="xla", bvh=None,
-               row0=0, rows=None):
+               row0=0, rows=None, shade=None):
     """One pool wave, accumulated into the film.
 
     Module-level jit with scene/camera as *arguments* and ``n_samples``
@@ -228,14 +229,15 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
     rad, _ = trace_pool(
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
         n_samples, sample0, max_depth, cam_salt, bvh=bvh, engine=engine,
-        slot_ids=_slot_ids(width, height, k_pool, row0, rows),
+        slot_ids=_slot_ids(width, height, k_pool, row0, rows), shade=shade,
     )
     return accum + rad.reshape(k_pool, rows, width, 3).sum(axis=0)
 
 
 # megakernel variant: n_samples must be STATIC (it sizes the in-kernel
 # iteration cap and the precomputed fold_in key table)
-_pool_step_mega = partial(jax.jit, static_argnums=(4, 5, 6, 7, 9, 11, 13, 14),
+_pool_step_mega = partial(jax.jit,
+                          static_argnums=(4, 5, 6, 7, 9, 11, 13, 14, 15),
                           donate_argnums=0)(_pool_step.__wrapped__)
 
 
@@ -248,12 +250,17 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
     rows = height if rows is None else rows
     xs, ys = _pixel_grid(width, height, k_pool, row0, rows)
     sids = _slot_ids(width, height, k_pool, row0, rows)
+    # resolved here, outside any jit of wave(), so the executable is keyed
+    # by the fused-shading choice (integrator.trace_pool docstring)
+    from .integrator import _use_fused_shading
+
+    shade = "fused" if _use_fused_shading(scene, bvh, engine) else "xla"
 
     def wave(key, sample0):
         accum, _ = trace_pool(
             scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
             samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
-            engine=engine, slot_ids=sids,
+            engine=engine, slot_ids=sids, shade=shade,
         )
         return accum.reshape(k_pool, rows, width, 3).sum(axis=0)
 
@@ -374,12 +381,18 @@ def render(
         )
         step = _wave_jit
     else:
+        # resolve the fused-shading knob OUTSIDE jit so it keys the
+        # executable cache (integrator.trace_pool docstring)
+        from .integrator import _use_fused_shading
+
+        shade = "fused" if _use_fused_shading(scene, bvh_arrays, engine) \
+            else "xla"
         if engine == "mega":
             def step(acc, key, sample0):
                 return _pool_step_mega(
                     acc, scene, camera, key, width, height, k_pool,
                     int(s_wave), sample0, max_depth, jnp.uint32(seed),
-                    engine, bvh_arrays, _row0, rows)
+                    engine, bvh_arrays, _row0, rows, shade)
         else:
             s_wave_arr = jnp.int32(s_wave)
 
@@ -387,7 +400,7 @@ def render(
                 return _pool_step(acc, scene, camera, key, width, height,
                                   k_pool, s_wave_arr, sample0, max_depth,
                                   jnp.uint32(seed), engine, bvh_arrays,
-                                  _row0, rows)
+                                  _row0, rows, shade)
 
     accum = jnp.zeros((rows, width, 3), jnp.float32)
     start_wave = 0
