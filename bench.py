@@ -111,7 +111,7 @@ def main(argv=None) -> int:
     p.add_argument("--config", default="book1", choices=sorted(CONFIGS))
     p.add_argument("--rays-per-wave", type=int, default=1 << 20)
     p.add_argument("--out", default=None, help="optionally save the image")
-    p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas", "mega"))
+    p.add_argument("--engine", default="auto", choices=("auto", "xla", "mxu", "pallas", "mega"))
     p.add_argument("--bvh", action="store_true")
     p.add_argument("--child", action="store_true",
                    help="run the measurement in-process (internal)")

@@ -297,3 +297,54 @@ def test_solid_box_full_render_matches_rects():
     close = np.isclose(img_a, img_b, rtol=2e-3, atol=2e-3)
     assert close.mean() > 0.95
     np.testing.assert_allclose(img_a.mean(), img_b.mean(), rtol=0.02)
+
+
+def test_mxu_sphere_sweep_matches_classic():
+    """Engine "mxu" (chunk-centered MXU matmul quadratic) agrees with the
+    classic per-pair sweep: same winners for ~all rays, t within fp noise.
+
+    book1-final is the target workload: 485 static spheres including the
+    1000-radius ground (the conditioning case that sank round 1's
+    uncentered expanded quadratic)."""
+    import jax
+
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.ops.intersect import intersect_ti
+
+    spec = SCENES["book1-final"]
+    scene = spec.build(seed=1024, earth=None)
+    cam = spec.camera(160, 120)
+    key = jax.random.PRNGKey(3)
+    n = 4096
+    xs = jnp.tile(jnp.linspace(0.02, 0.98, 64), n // 64)
+    ys = jnp.repeat(jnp.linspace(0.02, 0.98, n // 64), 64)
+    ro, rd, rt = cam.get_rays(key, xs, ys)
+    t_a, i_a = intersect_ti(scene, ro, rd, rt, key, engine="xla")
+    t_b, i_b = intersect_ti(scene, ro, rd, rt, key, engine="mxu")
+    t_a, i_a = np.asarray(t_a), np.asarray(i_a)
+    t_b, i_b = np.asarray(t_b), np.asarray(i_b)
+    np.testing.assert_array_equal(np.isfinite(t_a), np.isfinite(t_b))
+    hit = np.isfinite(t_a)
+    # winners may flip only where two candidates tie at fp scale
+    same = (i_a == i_b) | ~hit
+    assert same.mean() > 0.999, f"{(~same).sum()} winner flips"
+    # grazing hits (disc ~ 0) amplify the ~1e-7 operand rounding to ~1e-4
+    np.testing.assert_allclose(t_b[hit & same], t_a[hit & same],
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_mxu_render_statistically_identical():
+    """A small book1 render with engine="mxu" matches the classic engine."""
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import render
+
+    spec = SCENES["book1-final"]
+    scene = spec.build(seed=1024, earth=None)
+    cam = spec.camera(32, 24)
+    a = np.asarray(render(scene, cam, 32, 24, spp=8, max_depth=8, seed=5,
+                          engine="xla"))
+    b = np.asarray(render(scene, cam, 32, 24, spp=8, max_depth=8, seed=5,
+                          engine="mxu"))
+    close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.95
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.02)

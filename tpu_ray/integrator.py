@@ -49,7 +49,7 @@ def _use_fused_shading(scene, bvh, engine: str) -> bool:
         return False
     from .ops import shade_pallas
 
-    ok = (bvh is None and engine in ("xla", "pallas")
+    ok = (bvh is None and engine in ("xla", "mxu", "pallas")
           and shade_pallas.supported(scene))
     if FUSED_SHADING == "on":
         return ok

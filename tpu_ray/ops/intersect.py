@@ -64,12 +64,25 @@ class HitRecord:
 
 
 def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
-             do_spheres=None, do_quads=None, do_media=None, do_boxes=None):
+             do_spheres=None, do_quads=None, do_media=None, do_boxes=None,
+             sphere_mxu: bool = False):
     """Hit distance of every ray against a chunk of prims -> (R, C).
 
     ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
     The ``do_*`` flags restrict the math to the kinds a (homogeneous) chunk
     actually contains; they default to the scene's feature flags.
+
+    ``sphere_mxu`` (engine "mxu") computes the sphere quadratic's ray-prim
+    cross terms as two (R, 3) @ (3, C) matmuls on the MXU instead of
+    per-pair VPU subtract/dot chains, after shifting both rays and centers
+    to the chunk centroid (the expanded b = ro'.d - c'.d and
+    |oc|^2 = |ro'|^2 - 2 ro'.c' + |c'|^2 forms lose f32 conditioning when
+    |ro| >> |oc| - round 1 measured visible artifacts at |p| ~ 1000
+    uncentered; the centroid shift keeps the operand magnitudes at chunk
+    scale).  Values differ from the classic form at ~1e-6 relative, so
+    this is an ENGINE choice, not a default (goldens pin the classic
+    path); requires a static scene (moving centers vary per ray - no
+    shared matmul operand).
 
     KEEP IN SYNC with ops/bvh.py::_one_prim_t and
     ops/intersect_pallas.py::_kernel (same math, different layouts); the
@@ -87,15 +100,27 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
     # ---- spheres (+ medium-sphere boundaries): quadratic, src/Lib.hs:1081-1105
     if do_spheres or (do_media and scene.has_spheres):
         center = prims.center                 # (C, 3)
-        if scene.has_moving:
-            # moving sphere lerps its center by ray time (src/Lib.hs:1106-1108)
-            dt = rt[:, None] - sl(prims.time0)[None, :]
-            ct = center[None] + sl(prims.velocity)[None] * dt[..., None]
-            oc = ro[:, None, :] - ct
+        if sphere_mxu and not scene.has_moving:
+            hi = jax.lax.Precision.HIGHEST
+            m = jnp.mean(center, axis=0)      # chunk centroid
+            cp = center - m                   # (C, 3), chunk-scale
+            rop = ro - m                      # (R, 3)
+            M_rc = jnp.einsum("ri,ci->rc", rop, cp, precision=hi)
+            M_dc = jnp.einsum("ri,ci->rc", rd, cp, precision=hi)
+            b = vec.dot(rop, rd)[:, None] - M_dc
+            c = (vec.dot(rop, rop)[:, None] - 2.0 * M_rc
+                 + (vec.dot(cp, cp) - sl(prims.radius) ** 2)[None])
         else:
-            oc = ro[:, None, :] - center[None]
-        b = vec.dot(oc, rd[:, None, :])
-        c = vec.dot(oc, oc) - sl(prims.radius)[None] ** 2
+            if scene.has_moving:
+                # moving sphere lerps its center by ray time
+                # (src/Lib.hs:1106-1108)
+                dt = rt[:, None] - sl(prims.time0)[None, :]
+                ct = center[None] + sl(prims.velocity)[None] * dt[..., None]
+                oc = ro[:, None, :] - ct
+            else:
+                oc = ro[:, None, :] - center[None]
+            b = vec.dot(oc, rd[:, None, :])
+            c = vec.dot(oc, oc) - sl(prims.radius)[None] ** 2
         disc = b * b - a * c
         ok = disc > 0.0
         sd = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -326,13 +351,14 @@ def intersect_ti(scene: SceneData, ro, rd, rt, key, t_max=INF,
 
     # homogeneous regions (models/compile.py sorts spheres | boxes | quads
     # | media)
+    mxu = engine == "mxu" and not scene.has_moving
     best = (best_t, best_i)
     if start0 < scene.n_solid:
         s0 = max(start0, 0)
         n_sb = scene.n_sphere + scene.n_box
         best = sweep(best, s0, scene.n_sphere,
                      do_spheres=True, do_quads=False, do_media=False,
-                     do_boxes=False)
+                     do_boxes=False, sphere_mxu=mxu)
         best = sweep(best, max(scene.n_sphere, s0), n_sb,
                      do_spheres=False, do_quads=False, do_media=False,
                      do_boxes=True)

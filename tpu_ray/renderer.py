@@ -112,7 +112,7 @@ def plan_pool(scene, width: int, height: int, spp: int,
     runtime watchdogs (~60s of device time) on big scenes.
     """
     engine = resolve_engine(scene, engine)
-    if engine == "xla" and scene.n_prims > 512:
+    if engine in ("xla", "mxu") and scene.n_prims > 512:
         # multi-chunk (lax.scan) scenes: the remote TPU worker crashes above
         # ~150k lanes x 512-prim chunks (empirical); single-chunk scenes run
         # fine at 1M lanes
@@ -320,7 +320,7 @@ def render(
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold
     rows = height if _rows is None else _rows
-    cap = XLA_BIG_SCENE_LANES if (engine == "xla" and scene.n_prims > 512) else (
+    cap = XLA_BIG_SCENE_LANES if (engine in ("xla", "mxu") and scene.n_prims > 512) else (
         pallas_lane_cap(scene.n_prims)
         if (engine == "pallas" and scene.n_prims > 512)
         else None)

@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time", action="store_true", help="print wall time to stderr")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "gpu"),
                    help="force a JAX backend (some TPU plugins ignore JAX_PLATFORMS)")
-    p.add_argument("--engine", default="auto", choices=("auto", "xla", "pallas", "mega"),
+    p.add_argument("--engine", default="auto", choices=("auto", "xla", "mxu", "pallas", "mega"),
                    help="solid-primitive intersect engine")
     p.add_argument("--shade", default="auto", choices=("auto", "on", "off"),
                    help="fused Pallas shading kernel (record+texture+scatter "
