@@ -113,6 +113,27 @@ def test_render_fused_equals_xla_shading():
     np.testing.assert_allclose(a[close], b[close], rtol=2e-4, atol=1e-4)
 
 
+def test_fused_shading_composes_with_mesh():
+    """Fused shading inside shard_map (8 virtual devices) == single device."""
+    from tpu_ray import integrator
+    from tpu_ray.parallel.mesh import make_mesh
+    from tpu_ray.renderer import render
+
+    spec = SCENES["cornell"]
+    scene = spec.build(seed=1024)
+    cam = spec.camera(16, 12)
+    kwargs = dict(spp=8, max_depth=6, seed=3, engine="xla")
+    old = integrator.FUSED_SHADING
+    try:
+        integrator.FUSED_SHADING = "on"
+        a = np.asarray(render(scene, cam, 16, 12, **kwargs))
+        b = np.asarray(render(scene, cam, 16, 12, mesh=make_mesh(8),
+                              **kwargs))
+    finally:
+        integrator.FUSED_SHADING = old
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_unsupported_scenes_detected():
     strict = SCENES["cornell"].build(seed=1024).replace(strict=True)
     assert not shade_pallas.supported(strict)
