@@ -113,6 +113,30 @@ def test_render_fused_equals_xla_shading():
     np.testing.assert_allclose(a[close], b[close], rtol=2e-4, atol=1e-4)
 
 
+def test_render_fused_image_scene():
+    """The full pool-step kernel's deferred image albedo (uv + atlas fetch
+    outside the kernel, throughput fix-up) matches XLA shading end-to-end."""
+    from tpu_ray import integrator
+    from tpu_ray.renderer import render
+
+    scene = _earth_scene()
+    cam = SCENES["earth"].camera(24, 16)
+    kwargs = dict(spp=8, max_depth=6, seed=2, engine="xla")
+    old = integrator.FUSED_SHADING
+    try:
+        integrator.FUSED_SHADING = "off"
+        a = np.asarray(render(scene, cam, 24, 16, **kwargs))
+        integrator.FUSED_SHADING = "on"
+        b = np.asarray(render(scene, cam, 24, 16, **kwargs))
+    finally:
+        integrator.FUSED_SHADING = old
+    err = np.abs(a - b) / (1.0 + np.abs(a))
+    close = (err < 1e-4).all(axis=-1)
+    assert 1.0 - close.mean() <= 0.02, \
+        f"{(1 - close.mean()):.2%} pixels diverged (max {err.max():.2e})"
+    np.testing.assert_allclose(a[close], b[close], rtol=2e-4, atol=1e-4)
+
+
 def test_fused_shading_composes_with_mesh():
     """Fused shading inside shard_map (8 virtual devices) == single device."""
     from tpu_ray import integrator

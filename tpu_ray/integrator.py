@@ -207,7 +207,7 @@ def trace_pool(
              else shade == "fused")
     if fused:
         from .ops.intersect import intersect_ti
-        from .ops.shade_pallas import hit_scatter_pallas
+        from .ops.shade_pallas import pool_step_pallas
     k_loop = key
     if slot_ids is None:
         slot_ids = jnp.arange(R, dtype=jnp.uint32)
@@ -247,20 +247,27 @@ def trace_pool(
         def body(st: _PoolState) -> _PoolState:
             kb = jax.random.fold_in(k_loop, st.iteration)
             if fused:
-                # same two key streams, same draws - one Pallas kernel for
-                # record + textures + scatter (ops/shade_pallas.py)
+                # same two key streams, same draws - ONE Pallas kernel for
+                # record + textures + scatter + accumulation + state update
+                # + camera regen (ops/shade_pallas.py::pool_step_pallas)
                 bt, bi = intersect_ti(
                     scene, st.origin, st.direction, st.time,
                     jax.random.fold_in(kb, 0), engine=engine,
                     lane_ids=slot_ids_loc)
-                rec, sc = hit_scatter_pallas(
-                    scene, st.origin, st.direction, st.time, bt, bi,
-                    jax.random.fold_in(kb, 1), slot_ids_loc)
-            else:
-                rec = isect(st.origin, st.direction, st.time,
-                            jax.random.fold_in(kb, 0), slot_ids_loc)
-                sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction,
-                             rec, slot_ids_loc)
+                (o2, d2, tm2, tp2, ac2, bo2, sa2, av2) = pool_step_pallas(
+                    scene, camera, s_loc, t_loc, slot_ids_loc,
+                    st.origin, st.direction, st.time, st.throughput,
+                    st.accum, st.bounce, st.sample, st.active, bt, bi,
+                    jax.random.fold_in(kb, 1), n_samples, sample0,
+                    cam_salt, (inv_w, inv_h), max_depth)
+                return _PoolState(
+                    iteration=st.iteration + 1, origin=o2, direction=d2,
+                    time=tm2, throughput=tp2, bounce=bo2, sample=sa2,
+                    active=av2, accum=ac2)
+            rec = isect(st.origin, st.direction, st.time,
+                        jax.random.fold_in(kb, 0), slot_ids_loc)
+            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction,
+                         rec, slot_ids_loc)
 
             miss = st.active & ~rec.hit
             emit = st.active & rec.hit & ~sc.scattered

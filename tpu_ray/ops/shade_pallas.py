@@ -59,6 +59,7 @@ from ..models.scene_data import (
 )
 from .intersect import HitRecord
 from .megakernel import (
+    GOLD,
     INV_PI,
     TILE,
     TILE_L,
@@ -109,23 +110,13 @@ def _make_puller(tab_ref, idx, n_blocks: int):
     return pull
 
 
-def _shade_kernel(ro0_ref, ro1_ref, ro2_ref, rd0_ref, rd1_ref, rd2_ref,
-                  rt_ref, t_ref, idx_ref, slot_ref,
-                  tab_ref, salt_ref, light_ref, kw_ref,
-                  hit_ref, px_ref, py_ref, pz_ref,
-                  nx_ref, ny_ref, nz_ref, fr_ref, u_ref, v_ref, mat_ref,
-                  dx_ref, dy_ref, dz_ref, wx_ref, wy_ref, wz_ref,
-                  ex_ref, ey_ez_ref, ez_ref, sc_ref, if_ref, iid_ref,
-                  sph_ref,
-                  *, scene: SceneData, n_lights: int, n_blocks: int):
+def _shade_core(o, d, rt, t, idx, slot, tab_ref, salt_ref, light_ref,
+                kd0, kd1, *, scene: SceneData, n_lights: int, n_blocks: int):
+    """Record rebuild + scatter for one (8, 128) tile; shared by the
+    shade-only kernel (hit_scatter_pallas) and the full pool-step kernel
+    (pool_step_pallas)."""
     f32 = np.float32
     t_min = f32(scene.t_min)
-    o = (ro0_ref[...], ro1_ref[...], ro2_ref[...])
-    d = (rd0_ref[...], rd1_ref[...], rd2_ref[...])
-    rt = rt_ref[...]
-    t = t_ref[...]
-    idx = idx_ref[...]
-    slot = slot_ref[...]
     zero = jnp.zeros_like(t)
 
     pull = _make_puller(tab_ref, idx, n_blocks)
@@ -220,7 +211,6 @@ def _shade_kernel(ro0_ref, ro1_ref, ro2_ref, rd0_ref, rd1_ref, rd2_ref,
 
     # ---- scatter (mirror ops/scatter.py) ----
     mkind = pull(16).astype(jnp.int32)
-    kd0, kd1 = kw_ref[0, 0], kw_ref[0, 1]
     base = _fmix(slot + kd0) ^ kd1          # rng.lane_uniforms base
     u = lambda i: _hash_col(base, i)
 
@@ -369,30 +359,257 @@ def _shade_kernel(ro0_ref, ro1_ref, ro2_ref, rd0_ref, rd1_ref, rd2_ref,
     if scene.has_dielectric:
         need_mul = need_mul & (mkind != MAT_DIELECTRIC)
 
-    hit_ref[...] = hit.astype(jnp.int32)
-    px_ref[...] = px
-    py_ref[...] = py
-    pz_ref[...] = pz
-    nx_ref[...] = n_vec[0]
-    ny_ref[...] = n_vec[1]
-    nz_ref[...] = n_vec[2]
-    fr_ref[...] = front.astype(jnp.int32)
-    u_ref[...] = uu
-    v_ref[...] = vv
-    mat_ref[...] = mat
-    dx_ref[...] = direction[0]
-    dy_ref[...] = direction[1]
-    dz_ref[...] = direction[2]
-    wx_ref[...] = weight[0]
-    wy_ref[...] = weight[1]
-    wz_ref[...] = weight[2]
-    ex_ref[...] = emitted[0]
-    ey_ez_ref[...] = emitted[1]
-    ez_ref[...] = emitted[2]
-    sc_ref[...] = scattered.astype(jnp.int32)
-    if_ref[...] = need_mul.astype(jnp.int32)
-    iid_ref[...] = img_id
-    sph_ref[...] = (kind == PRIM_SPHERE).astype(jnp.int32)
+    return dict(
+        hit=hit, point=(px, py, pz), normal=n_vec, front=front, u=uu, v=vv,
+        mat=mat, direction=direction, weight=weight, emitted=emitted,
+        scattered=scattered, need_mul=need_mul, img_id=img_id,
+        is_sph=kind == PRIM_SPHERE,
+    )
+
+
+def _shade_kernel(ro0_ref, ro1_ref, ro2_ref, rd0_ref, rd1_ref, rd2_ref,
+                  rt_ref, t_ref, idx_ref, slot_ref,
+                  tab_ref, salt_ref, light_ref, kw_ref,
+                  hit_ref, px_ref, py_ref, pz_ref,
+                  nx_ref, ny_ref, nz_ref, fr_ref, u_ref, v_ref, mat_ref,
+                  dx_ref, dy_ref, dz_ref, wx_ref, wy_ref, wz_ref,
+                  ex_ref, ey_ref, ez_ref, sc_ref, if_ref, iid_ref,
+                  sph_ref,
+                  *, scene: SceneData, n_lights: int, n_blocks: int):
+    s = _shade_core(
+        (ro0_ref[...], ro1_ref[...], ro2_ref[...]),
+        (rd0_ref[...], rd1_ref[...], rd2_ref[...]),
+        rt_ref[...], t_ref[...], idx_ref[...], slot_ref[...],
+        tab_ref, salt_ref, light_ref, kw_ref[0, 0], kw_ref[0, 1],
+        scene=scene, n_lights=n_lights, n_blocks=n_blocks)
+    hit_ref[...] = s["hit"].astype(jnp.int32)
+    px_ref[...], py_ref[...], pz_ref[...] = s["point"]
+    nx_ref[...], ny_ref[...], nz_ref[...] = s["normal"]
+    fr_ref[...] = s["front"].astype(jnp.int32)
+    u_ref[...] = s["u"]
+    v_ref[...] = s["v"]
+    mat_ref[...] = s["mat"]
+    dx_ref[...], dy_ref[...], dz_ref[...] = s["direction"]
+    wx_ref[...], wy_ref[...], wz_ref[...] = s["weight"]
+    ex_ref[...], ey_ref[...], ez_ref[...] = s["emitted"]
+    sc_ref[...] = s["scattered"].astype(jnp.int32)
+    if_ref[...] = s["need_mul"].astype(jnp.int32)
+    iid_ref[...] = s["img_id"]
+    sph_ref[...] = s["is_sph"].astype(jnp.int32)
+
+
+def _step_kernel(xs_ref, ys_ref, slot_ref,
+                 o0_ref, o1_ref, o2_ref, d0_ref, d1_ref, d2_ref, tm_ref,
+                 tp0_ref, tp1_ref, tp2_ref, ac0_ref, ac1_ref, ac2_ref,
+                 bo_ref, sa_ref, av_ref, t_ref, idx_ref,
+                 tab_ref, salt_ref, light_ref, kw_ref, cam_ref, scal_ref,
+                 ns_ref, bg_ref,
+                 *out_refs,
+                 scene: SceneData, n_lights: int, n_blocks: int,
+                 max_depth: int, inv_w: float, inv_h: float):
+    """One full pool iteration for a (8, 128) tile: shade (record +
+    textures + scatter + MIS), estimator accumulation, state update, and
+    camera regeneration - mirror of integrator.trace_pool's body + regen
+    (and of ops/megakernel.py's in-kernel pool update).
+
+    The deferred image albedo (see module docstring) means the zero-
+    throughput death check runs on the albedo-free throughput: a path
+    whose image texel is EXACTLY black survives until depth instead of
+    dying early.  Its contribution is 0 either way and all RNG is keyed
+    by (slot, global sample index), so the estimate is unchanged.
+    """
+    f32 = np.float32
+    xs = xs_ref[...]
+    ys = ys_ref[...]
+    slot = slot_ref[...]
+    o = (o0_ref[...], o1_ref[...], o2_ref[...])
+    d = (d0_ref[...], d1_ref[...], d2_ref[...])
+    tm = tm_ref[...]
+    tp = (tp0_ref[...], tp1_ref[...], tp2_ref[...])
+    ac = (ac0_ref[...], ac1_ref[...], ac2_ref[...])
+    bounce = bo_ref[...]
+    sample = sa_ref[...]
+    active = av_ref[...]
+    t = t_ref[...]
+    idx = idx_ref[...]
+    zero = jnp.zeros_like(t)
+
+    s = _shade_core(o, d, tm, t, idx, slot, tab_ref, salt_ref, light_ref,
+                    kw_ref[0, 0], kw_ref[0, 1],
+                    scene=scene, n_lights=n_lights, n_blocks=n_blocks)
+
+    # ---- pool update (mirror trace_pool.body) ----
+    act = active > 0
+    hit = s["hit"]
+    scattered = s["scattered"]
+    miss = act & ~hit
+    emit = act & hit & ~scattered
+    cont = act & hit & scattered
+    emitted = s["emitted"]
+    ac = (ac[0] + jnp.where(miss, tp[0] * bg_ref[0, 0], 0.0)
+          + jnp.where(emit, tp[0] * emitted[0], 0.0),
+          ac[1] + jnp.where(miss, tp[1] * bg_ref[0, 1], 0.0)
+          + jnp.where(emit, tp[1] * emitted[1], 0.0),
+          ac[2] + jnp.where(miss, tp[2] * bg_ref[0, 2], 0.0)
+          + jnp.where(emit, tp[2] * emitted[2], 0.0))
+    w = s["weight"]
+    tp = _where3(cont, (tp[0] * w[0], tp[1] * w[1], tp[2] * w[2]), tp)
+    bounce = jnp.where(cont, bounce + 1, bounce)
+    tp_max = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
+    dead_now = act & (
+        miss | emit | (cont & (bounce >= max_depth))
+        | (cont & (tp_max <= 0.0))
+    )
+    o = _where3(cont, s["point"], o)
+    d = _where3(cont, s["direction"], d)
+
+    # ---- regen (mirror trace_pool.regen via rng.hash_uniforms2 +
+    # camera.rays_from_uniforms; same code as megakernel's regen) ----
+    sample0 = scal_ref[0, 0]
+    cam_salt = scal_ref[0, 1]
+    n_samples = ns_ref[0, 0]
+    cam = lambda i: cam_ref[0, i]
+    want = dead_now & (sample < n_samples)
+    a_w = slot
+    b_w = (sample0 + sample.astype(jnp.uint32)) ^ cam_salt
+    base = _fmix(a_w + GOLD) ^ (b_w * np.uint32(0x85EBCA6B))
+    u0 = _hash_col(base, 0)
+    u1 = _hash_col(base, 1)
+    u2 = _hash_col(base, 2)
+    u3 = _hash_col(base, 3)
+    u4 = _hash_col(base, 4)
+    sx = xs + u0 * f32(inv_w)
+    sy = ys + u1 * f32(inv_h)
+    r = cam(18) * jnp.sqrt(u2)
+    phi = TWO_PI * u3
+    rc, rs = r * jnp.cos(phi), r * jnp.sin(phi)
+    offx = rc * cam(12) + rs * cam(15)
+    offy = rc * cam(13) + rs * cam(16)
+    offz = rc * cam(14) + rs * cam(17)
+    t_new = cam(19) + (cam(20) - cam(19)) * u4
+    rox = cam(0) + offx
+    roy = cam(1) + offy
+    roz = cam(2) + offz
+    rdx = cam(3) + sx * cam(6) + sy * cam(9) - cam(0) - offx
+    rdy = cam(4) + sx * cam(7) + sy * cam(10) - cam(1) - offy
+    rdz = cam(5) + sx * cam(8) + sy * cam(11) - cam(2) - offz
+    o = _where3(want, (rox, roy, roz), o)
+    d = _where3(want, (rdx, rdy, rdz), d)
+    tm = jnp.where(want, t_new, tm)
+    tp = _where3(want, (jnp.ones_like(zero),) * 3, tp)
+    bounce = jnp.where(want, 0, bounce)
+    sample = jnp.where(want, sample + 1, sample)
+    active = ((act & ~dead_now) | want).astype(jnp.int32)
+
+    outs = list(out_refs)
+    for ref, val in zip(outs[:16], (
+            o[0], o[1], o[2], d[0], d[1], d[2], tm,
+            tp[0], tp[1], tp[2], ac[0], ac[1], ac[2],
+            bounce, sample, active)):
+        ref[...] = val
+    if scene.has_image:
+        # the deferred albedo applies to lanes whose (now carried)
+        # throughput includes this bounce's white-att weight
+        flag = s["need_mul"] & cont & ~dead_now
+        n_vec = s["normal"]
+        for ref, val in zip(outs[16:], (
+                s["u"], s["v"], s["img_id"], flag.astype(jnp.int32),
+                n_vec[0], n_vec[1], n_vec[2],
+                s["front"].astype(jnp.int32),
+                s["is_sph"].astype(jnp.int32))):
+            ref[...] = val
+
+
+def pool_step_pallas(scene: SceneData, camera, xs, ys, slot_ids,
+                     origin, direction, time, throughput, accum, bounce,
+                     sample, active, best_t, best_i, key, n_samples,
+                     sample0, cam_salt, inv_wh, max_depth: int,
+                     interpret: bool | None = None):
+    """One fused pool iteration (shade + accumulate + update + regen).
+
+    Drop-in for the elementwise section of integrator.trace_pool's body
+    when fused shading is active - removes the remaining per-bounce XLA
+    glue kernels.  Returns the new (origin, direction, time, throughput,
+    accum, bounce, sample, active) state.
+    """
+    assert supported(scene), "scene outside fused-shading scope"
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    R = origin.shape[0]
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2][None]
+    scal = jnp.stack([jnp.asarray(sample0, jnp.uint32),
+                      jnp.asarray(cam_salt, jnp.uint32)])[None]
+    ns = jnp.asarray(n_samples, jnp.int32).reshape(1, 1)
+    bg = jnp.asarray(scene.background, jnp.float32).reshape(1, 3)
+    from .megakernel import _camera_vec
+
+    pad = (-R) % TILE
+    shape2 = ((R + pad) // TILE * TILE_S, TILE_L)
+    tile = lambda a, fill: jnp.pad(a, (0, pad), constant_values=fill) \
+        .reshape(shape2)
+    ins = (
+        tile(xs, 0.0), tile(ys, 0.0), tile(jnp.asarray(slot_ids, jnp.uint32), 0),
+        tile(origin[:, 0], 0.0), tile(origin[:, 1], 0.0),
+        tile(origin[:, 2], 0.0),
+        tile(direction[:, 0], 1.0), tile(direction[:, 1], 1.0),
+        tile(direction[:, 2], 1.0), tile(time, 0.0),
+        tile(throughput[:, 0], 0.0), tile(throughput[:, 1], 0.0),
+        tile(throughput[:, 2], 0.0),
+        tile(accum[:, 0], 0.0), tile(accum[:, 1], 0.0),
+        tile(accum[:, 2], 0.0),
+        tile(bounce, 0), tile(sample, 0),
+        tile(active.astype(jnp.int32), 0),  # padded lanes: inactive
+        tile(best_t, np.inf), tile(best_i, 0),
+    )
+    tab, salt_f, lights, n_blocks = _tables_for_shade(scene)
+
+    kern = partial(_step_kernel, scene=scene, n_lights=int(scene.n_lights),
+                   n_blocks=n_blocks, max_depth=int(max_depth),
+                   inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]))
+    tile_spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    full = lambda ms: pl.BlockSpec(memory_space=ms)
+    f32s = jax.ShapeDtypeStruct(shape2, jnp.float32)
+    i32s = jax.ShapeDtypeStruct(shape2, jnp.int32)
+    out_shape = [f32s] * 13 + [i32s] * 3
+    if scene.has_image:
+        out_shape += [f32s, f32s, i32s, i32s, f32s, f32s, f32s, i32s, i32s]
+    outs = pl.pallas_call(
+        kern,
+        grid=(shape2[0] // TILE_S,),
+        in_specs=[tile_spec] * 21 + [
+            full(pltpu.VMEM),                 # tab
+            full(pltpu.VMEM),                 # salt bits
+            full(pltpu.SMEM),                 # lights
+            full(pltpu.SMEM),                 # key words (1, 2)
+            full(pltpu.SMEM),                 # camera vec (1, 21)
+            full(pltpu.SMEM),                 # sample0/cam_salt (1, 2) u32
+            full(pltpu.SMEM),                 # n_samples (1, 1) i32
+            full(pltpu.SMEM),                 # background (1, 3)
+        ],
+        out_specs=(tile_spec,) * len(out_shape),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*ins, tab, salt_f, lights, kd, _camera_vec(camera), scal, ns, bg)
+    flat = [a.reshape(-1)[:R] for a in outs]
+    (o0, o1, o2, d0, d1, d2, tm, tp0, tp1, tp2, a0, a1, a2,
+     bo, sa, av) = flat[:16]
+    tp = jnp.stack([tp0, tp1, tp2], -1)
+    if scene.has_image:
+        uu, vv, iid, flag, nx, ny, nz, fr, sph = flat[16:]
+        n_pre = jnp.where((fr > 0)[:, None],
+                          jnp.stack([nx, ny, nz], -1),
+                          -jnp.stack([nx, ny, nz], -1))
+        phi = jnp.arctan2(n_pre[:, 2], n_pre[:, 0])
+        theta = jnp.arcsin(jnp.clip(n_pre[:, 1], -1.0, 1.0))
+        u_s = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
+        v_s = (theta + jnp.pi / 2.0) / jnp.pi
+        uu = jnp.where(sph > 0, u_s, uu)
+        vv = jnp.where(sph > 0, v_s, vv)
+        att_img = image_value_from(scene, iid, uu, vv)
+        tp = jnp.where((flag > 0)[:, None], tp * att_img, tp)
+    return (jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1), tm,
+            tp, jnp.stack([a0, a1, a2], -1), bo, sa, av > 0)
 
 
 def _pull_u32(salt_ref, idx, n_blocks: int):
