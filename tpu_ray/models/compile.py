@@ -399,10 +399,17 @@ def build_scene(
         ]
     else:
         morton = [0] * len(prims)
+    # within the sphere range, static spheres come first: the Pallas sweep
+    # then runs the center-lerp math only over the moving suffix (exact:
+    # a zero-velocity lerp is the identity, so the split changes nothing
+    # but the op count - ops/intersect_pallas.py)
+    def _is_moving(p):
+        return p.kind == PRIM_SPHERE and bool(np.any(np.abs(p.velocity) > 0))
+
     order = sorted(
         range(len(prims)),
         key=lambda i: (prims[i].kind >= PRIM_MEDIUM_SPHERE, prims[i].kind,
-                       morton[i]),
+                       _is_moving(prims[i]), morton[i]),
     )
     prims = [prims[i] for i in order]
     n = len(prims)
@@ -606,6 +613,8 @@ def build_scene(
         has_solid_box=bool(is_solid_box.any()),
         n_solid=int(np.sum(~is_medium)),
         n_sphere=int(np.sum(kind == PRIM_SPHERE)),
+        n_sphere_static=int(np.sum(
+            (kind == PRIM_SPHERE) & ~np.any(np.abs(velocity) > 0, axis=1))),
         n_box=int(is_solid_box.sum()),
         any_transform=bool(np.any(live_transform)),
         has_lambertian=MAT_LAMBERTIAN in mk,

@@ -170,6 +170,9 @@ class SceneData:
     # n_prims)
     n_solid: int = struct.field(pytree_node=False, default=0)
     n_sphere: int = struct.field(pytree_node=False, default=0)
+    # static spheres are sorted FIRST within the sphere range
+    # (models/compile.py), so [0, n_sphere_static) needs no center lerp
+    n_sphere_static: int = struct.field(pytree_node=False, default=0)
     n_box: int = struct.field(pytree_node=False, default=0)
     has_box_media: bool = struct.field(pytree_node=False, default=False)
     has_moving: bool = struct.field(pytree_node=False, default=False)

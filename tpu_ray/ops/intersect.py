@@ -65,7 +65,7 @@ class HitRecord:
 
 def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
              do_spheres=None, do_quads=None, do_media=None, do_boxes=None,
-             sphere_mxu: bool = False):
+             sphere_mxu: bool = False, moving=None):
     """Hit distance of every ray against a chunk of prims -> (R, C).
 
     ``prims``: a PrimArrays pytree whose leading dimension is the chunk.
@@ -99,8 +99,12 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
 
     # ---- spheres (+ medium-sphere boundaries): quadratic, src/Lib.hs:1081-1105
     if do_spheres or (do_media and scene.has_spheres):
+        # ``moving``: the scene compiler sorts static spheres first, so the
+        # static sub-sweep skips the lerp (exact: zero-velocity lerp is the
+        # identity); None = the scene-level flag (media boundaries etc.)
+        moving_ = scene.has_moving if moving is None else moving
         center = prims.center                 # (C, 3)
-        if sphere_mxu and not scene.has_moving:
+        if sphere_mxu and not moving_:
             hi = jax.lax.Precision.HIGHEST
             m = jnp.mean(center, axis=0)      # chunk centroid
             cp = center - m                   # (C, 3), chunk-scale
@@ -111,7 +115,7 @@ def _chunk_t(scene: SceneData, prims, ro, rd, rt, u_med, t_min, t_max,
             c = (vec.dot(rop, rop)[:, None] - 2.0 * M_rc
                  + (vec.dot(cp, cp) - sl(prims.radius) ** 2)[None])
         else:
-            if scene.has_moving:
+            if moving_:
                 # moving sphere lerps its center by ray time
                 # (src/Lib.hs:1106-1108)
                 dt = rt[:, None] - sl(prims.time0)[None, :]
@@ -356,9 +360,12 @@ def intersect_ti(scene: SceneData, ro, rd, rt, key, t_max=INF,
     if start0 < scene.n_solid:
         s0 = max(start0, 0)
         n_sb = scene.n_sphere + scene.n_box
-        best = sweep(best, s0, scene.n_sphere,
+        best = sweep(best, s0, scene.n_sphere_static,
                      do_spheres=True, do_quads=False, do_media=False,
-                     do_boxes=False, sphere_mxu=mxu)
+                     do_boxes=False, sphere_mxu=mxu, moving=False)
+        best = sweep(best, max(scene.n_sphere_static, s0), scene.n_sphere,
+                     do_spheres=True, do_quads=False, do_media=False,
+                     do_boxes=False, sphere_mxu=mxu, moving=True)
         best = sweep(best, max(scene.n_sphere, s0), n_sb,
                      do_spheres=False, do_quads=False, do_media=False,
                      do_boxes=True)

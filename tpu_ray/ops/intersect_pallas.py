@@ -164,8 +164,13 @@ def _pad1(a, n, pad, fill=0.0):
 
 
 def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
-                 flavor: str, interpret: bool):
-    """(bt, bi) over prim rows [lo, hi) via one kind-specialized kernel."""
+                 flavor: str, interpret: bool, moving: bool = False):
+    """(bt, bi) over prim rows [lo, hi) via one kind-specialized kernel.
+
+    ``moving`` applies only to the sphere flavor: the scene compiler sorts
+    static spheres first within the sphere range, so the static launch
+    skips the per-(ray, prim) center-lerp entirely (exact - a
+    zero-velocity lerp is the identity)."""
     p = scene.prims
     n = hi - lo
     pad = (-n) % PBLK
@@ -184,7 +189,7 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
             _pad1(take(p.radius) ** 2, n, pad, 0.0),  # pad: r^2=0 never hits
         )
         kern = partial(_sphere_kernel, n_blocks=P // PBLK,
-                       t_min=float(scene.t_min), has_moving=scene.has_moving)
+                       t_min=float(scene.t_min), has_moving=moving)
     elif flavor == "box":
         fields = (
             _pad1(take(p.box_min[:, 0]), n, pad, 1.0),  # pad: inverted box
@@ -259,16 +264,18 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
 
     n_sb = scene.n_sphere + scene.n_box
     ranges = (
-        (0, scene.n_sphere, "sphere"),
-        (scene.n_sphere, n_sb, "box"),
-        (n_sb, scene.n_solid, "quad"),
+        (0, scene.n_sphere_static, "sphere", False),
+        (scene.n_sphere_static, scene.n_sphere, "sphere", True),
+        (scene.n_sphere, n_sb, "box", False),
+        (n_sb, scene.n_solid, "quad", False),
     )
     best_t = jnp.full((R + pad_r,), BIG)
     best_i = jnp.zeros((R + pad_r,), jnp.int32)
-    for lo, hi, flavor in ranges:
+    for lo, hi, flavor, moving in ranges:
         if hi <= lo:
             continue
-        bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor, interpret)
+        bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor, interpret,
+                              moving=moving)
         closer = bt < best_t
         best_t = jnp.where(closer, bt, best_t)
         best_i = jnp.where(closer, bi, best_i)
