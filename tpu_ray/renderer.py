@@ -69,11 +69,14 @@ def pick_samples_per_wave(width: int, height: int, spp: int, rays_per_wave: int)
 
 
 def resolve_engine(scene, engine: str = "auto") -> str:
-    """'auto' -> on TPU: the whole-wave megakernel where supported (small
-    image-free scenes incl. constant media, ops/megakernel.py; cornell
-    2.2x), else the fused Pallas sweep for >512-prim scenes (~1.5x on
-    next-week-final), else the XLA brute force.  On CPU (the test path):
-    always XLA - Pallas would run interpreted."""
+    """'auto' -> the fused Pallas sweep for >512-prim scenes (~1.5x on
+    next-week-final), else the XLA sweep; on TPU the integrator
+    additionally runs the full pool-step Pallas kernel on top of either
+    (integrator._use_fused_shading).  The whole-wave megakernel
+    (--engine mega) is no longer auto-selected anywhere: the wavefront +
+    full-step kernel beats it across the board (cornell 3.9 vs 5.0 s,
+    cornell-smoke 2.55 vs 4.88 s, PERFLOG.md) - its per-prim winner-row
+    carry only narrowed with scene size, never won."""
     if engine == "mega":
         from .ops.megakernel import supported
 
@@ -83,19 +86,7 @@ def resolve_engine(scene, engine: str = "auto") -> str:
     platform = jax.devices()[0].platform.lower()
     on_tpu = "tpu" in platform or platform == "axon"
     if not on_tpu:
-        return "xla"
-    from .ops.megakernel import supported
-
-    if supported(scene) and scene.n_lights > 0 and scene.n_prims <= 64:
-        # whole-wave megakernel: cornell 11.1 -> 5.0 s.  Auto only for
-        # light-MIS scenes with few prims - on trivial 2-prim scenes it
-        # measured a slight loss (two-spheres 2.7 vs 2.4 s), at 485 prims a
-        # 2.2x loss (book1, PERFLOG.md: the in-loop winner-row carry costs
-        # ~20 vector selects per prim per bounce, so the wavefront sweep +
-        # one-hot payload pull wins at large N), and its one-off Mosaic
-        # compile is minutes through the remote tunnel; --engine mega
-        # remains available for any supported() scene (<= 512 prims).
-        return "mega"
+        return "xla"  # CPU (the test path): Pallas would run interpreted
     return "pallas" if scene.n_prims > 512 else "xla"
 
 
