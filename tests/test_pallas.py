@@ -104,3 +104,29 @@ def test_pallas_render_matches():
     img_a = render(scene, cam, 12, 12, spp=8, max_depth=6, seed=4)
     img_b = render(scene, cam, 12, 12, spp=8, max_depth=6, seed=4, engine="pallas")
     np.testing.assert_allclose(img_a, img_b, rtol=1e-4, atol=1e-6)
+
+
+def test_mxu_sphere_sweep_matches_classic():
+    """The opt-in MXU static-sphere sweep (TPU_RAY_SWEEP_MXU=1, a documented
+    2.4x-slower negative result kept for the record — PERFLOG.md) must stay
+    numerically honest: centroid-shifted matmul form vs the classic per-pair
+    kernel, interpret mode."""
+    from tpu_ray.ops.intersect_pallas import _sweep_range, _sweep_sphere_mxu
+
+    scene = SCENES["book1-final"].build(seed=1024)
+    n = scene.n_sphere_static
+    assert n > 400
+    ro, rd, _ = _rays(7, 512, -12, 12)
+    rt = jnp.zeros((512, 1), jnp.float32)
+    bt0, bi0 = _sweep_range(scene, ro, rd, rt, 0, n, "sphere", True,
+                            moving=False)
+    bt1, bi1 = _sweep_sphere_mxu(scene, ro, rd, rt, 0, n, True)
+    hit0 = np.asarray(bt0) < 3e38
+    hit1 = np.asarray(bt1) < 3e38
+    # hit sets may differ only on grazing rays; none expected at 512 rays
+    np.testing.assert_array_equal(hit0, hit1)
+    assert hit0.sum() > 50
+    np.testing.assert_allclose(np.asarray(bt1)[hit0], np.asarray(bt0)[hit0],
+                               rtol=1e-3)
+    agree = (np.asarray(bi0)[hit0] == np.asarray(bi1)[hit0]).mean()
+    assert agree > 0.99

@@ -37,6 +37,18 @@ TILE_R = 256
 PBLK = 128
 BIG = 3.4e38  # sentinel (finite, so masked min/argmin stay sane)
 
+# Static-sphere sweep on the MXU (see _sphere_mxu_kernel).  MEASURED LOSS:
+# 32.2 vs 13.6 ms/sweep on book1's 485 static spheres at 983k rays
+# (tools/bench_mxu_sweep.py, TPU v5e, PERFLOG.md round 2) - the quadratic's
+# cross terms are a K=3 contraction, so the MXU charges a full 128-deep
+# pass (x6 for f32 HIGHEST) for 3 MACs of useful work while the VPU does
+# them in-register.  Kept behind TPU_RAY_SWEEP_MXU=1 as a documented
+# negative result; never auto-selected.
+def _use_mxu_spheres(n: int, interpret: bool) -> bool:
+    import os
+
+    return os.environ.get("TPU_RAY_SWEEP_MXU", "0") == "1"
+
 
 def _sphere_kernel(ro_ref, rd_ref, rt_ref,
                    cx_ref, cy_ref, cz_ref, vx_ref, vy_ref, vz_ref,
@@ -80,6 +92,137 @@ def _sphere_kernel(ro_ref, rd_ref, rt_ref,
         bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
+
+
+def _sphere_mxu_kernel(ro_ref, rd_ref, rt_ref, dm_ref, om_ref,
+                       c1_ref, c2_ref,
+                       out_t_ref, out_i_ref, bt_ref, bi_ref,
+                       *, n_blocks: int, t_min: float):
+    """Static-sphere sweep with the quadratic's cross terms on the MXU.
+
+    Expands the classic per-pair form (src/Lib.hs:1081-1108)
+
+        oc = o - c;  b = oc.d;  c = |oc|^2 - r^2
+
+    around the range centroid m (o' = o - m, c' = c - m):
+
+        b  = o'.d - (c'.d)                       <- M1: d  @ [c']
+        cc = |o'|^2 + (-2 o'.c' + |c'|^2 - r^2)  <- M2: o' @ [-2c' ; k']
+
+    The two (T,8)@(8,P) matmuls run on the MXU (f32, HIGHEST precision),
+    replacing ~14 of the ~30 VPU ops per (ray, sphere) pair.  MEASURED
+    2.4x SLOWER than the classic kernel on hardware (see the module-level
+    note); kept as an opt-in negative result (TPU_RAY_SWEEP_MXU=1).  The
+    expansion also reassociates the fp math, so t agrees with the classic
+    kernel only to ~1e-5 relative (grazing hits ~1e-3) - the same
+    conditioning as round 1's chunk-centred XLA "mxu" engine (PERFLOG.md).
+
+    Input packing (host side, _sweep_sphere_mxu):
+      dm (R,8): [dx, dy, dz, o'.d, 0...]  (col 3 rides along: c1 row 3 = 0)
+      om (R,8): [o'x, o'y, o'z, 1, |o'|^2, 0...]  (c2 rows 4-7 = 0)
+      c1 (8,P): rows [c'x, c'y, c'z, 0...]
+      c2 (8,P): rows [-2c'x, -2c'y, -2c'z, k', 0...], k' = |c'|^2 - r^2
+    Padded prim columns are all-zero: cc = |o'|^2 makes disc = -(perp)^2
+    <= 0, so they never hit (same guarantee as the classic pad r^2 = 0).
+    """
+    rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
+    a = rdx * rdx + rdy * rdy + rdz * rdz
+    inv_a = 1.0 / a
+    od = dm_ref[:, 3:4]
+    oo = om_ref[:, 4:5]
+    dm = dm_ref[:]
+    om = om_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    bt_ref[:] = jnp.full((TILE_R, 1), BIG)
+    bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+    for pb in range(n_blocks):
+        s = slice(pb * PBLK, (pb + 1) * PBLK)
+        cd = jax.lax.dot_general(dm, c1_ref[:, s], dn,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        ccp = jax.lax.dot_general(om, c2_ref[:, s], dn,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+        b = od - cd
+        c = oo + ccp
+        disc = b * b - a * c
+        ok = disc > 0.0
+        sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sd) * inv_a
+        t2 = (-b + sd) * inv_a
+        t = jnp.where(ok & (t1 > t_min), t1,
+                      jnp.where(ok & (t2 > t_min), t2, BIG))
+        bt = jnp.min(t, axis=1, keepdims=True)
+        bi = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32) + pb * PBLK
+        prev = bt_ref[:]
+        closer = bt < prev
+        bt_ref[:] = jnp.where(closer, bt, prev)
+        bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+    out_t_ref[:, 0] = bt_ref[:, 0]
+    out_i_ref[:, 0] = bi_ref[:, 0]
+
+
+def _sweep_sphere_mxu(scene: SceneData, ro, rd, rt, lo: int, hi: int,
+                      interpret: bool):
+    """(bt, bi) over the static-sphere rows [lo, hi) via the MXU kernel."""
+    p = scene.prims
+    n = hi - lo
+    pad = (-n) % PBLK
+    P = n + pad
+    R = ro.shape[0]
+
+    c = jax.lax.slice_in_dim(p.center, lo, hi, axis=0)      # (n, 3)
+    r2 = jax.lax.slice_in_dim(p.radius, lo, hi, axis=0) ** 2
+    m = jnp.mean(c, axis=0)                                  # range centroid
+    cs = c - m
+    k = jnp.sum(cs * cs, axis=1) - r2
+    zpad = ((0, pad),)
+    c1 = jnp.zeros((8, P), jnp.float32)
+    c1 = c1.at[0:3, :].set(jnp.pad(cs.T, ((0, 0),) + zpad))
+    c2 = jnp.zeros((8, P), jnp.float32)
+    c2 = c2.at[0:3, :].set(jnp.pad(-2.0 * cs.T, ((0, 0),) + zpad))
+    c2 = c2.at[3, :].set(jnp.pad(k, zpad[0]))
+
+    os_ = ro - m[None, :]
+    dm = jnp.zeros((R, 8), jnp.float32)
+    dm = dm.at[:, 0:3].set(rd)
+    dm = dm.at[:, 3].set(jnp.sum(os_ * rd, axis=1))
+    om = jnp.zeros((R, 8), jnp.float32)
+    om = om.at[:, 0:3].set(os_)
+    om = om.at[:, 3].set(1.0)
+    om = om.at[:, 4].set(jnp.sum(os_ * os_, axis=1))
+
+    kern = partial(_sphere_mxu_kernel, n_blocks=P // PBLK,
+                   t_min=float(scene.t_min))
+    ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    aug_spec = pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_t, out_i = pl.pallas_call(
+        kern,
+        grid=(R // TILE_R,),
+        in_specs=[ray_spec, ray_spec, rt_spec, aug_spec, aug_spec,
+                  prim_spec, prim_spec],
+        out_specs=(
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ro, rd, rt, dm, om, c1, c2)
+    return out_t[:, 0], out_i[:, 0] + lo
 
 
 def _quad_kernel(ro_ref, rd_ref, rt_ref,
@@ -274,8 +417,12 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     for lo, hi, flavor, moving in ranges:
         if hi <= lo:
             continue
-        bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor, interpret,
-                              moving=moving)
+        if (flavor == "sphere" and not moving
+                and _use_mxu_spheres(hi - lo, interpret)):
+            bt, bi = _sweep_sphere_mxu(scene, ro, rd, rt2, lo, hi, interpret)
+        else:
+            bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor,
+                                  interpret, moving=moving)
         closer = bt < best_t
         best_t = jnp.where(closer, bt, best_t)
         best_i = jnp.where(closer, bi, best_i)
