@@ -130,3 +130,25 @@ def test_mxu_sphere_sweep_matches_classic():
                                rtol=1e-3)
     agree = (np.asarray(bi0)[hit0] == np.asarray(bi1)[hit0]).mean()
     assert agree > 0.99
+
+
+def test_sorted_cull_sweep_matches_plain():
+    """Octant+Morton ray sorting + per-tile block culling must be
+    bit-exact vs the plain sweep: every surviving (ray, prim) pair runs
+    the identical test, and skipping is exact by AABB containment
+    (intersect_pallas._needed_mask)."""
+    from tpu_ray.ops.intersect_pallas import intersect_solids_pallas
+
+    for name, lo, hi in [("next-week-final", -100, 600),
+                         ("cornell", 0, 555)]:
+        scene = SCENES[name].build(seed=1024)
+        ro, rd, rt = _rays(11, 1280, lo, hi)
+        t0, i0 = intersect_solids_pallas(scene, ro, rd, rt, sort=False,
+                                         interpret=True)
+        t1, i1 = intersect_solids_pallas(scene, ro, rd, rt, sort=True,
+                                         interpret=True)
+        h = np.isfinite(np.asarray(t0))
+        assert h.sum() > 300
+        np.testing.assert_array_equal(h, np.isfinite(np.asarray(t1)))
+        np.testing.assert_array_equal(np.asarray(t0)[h], np.asarray(t1)[h])
+        np.testing.assert_array_equal(np.asarray(i0)[h], np.asarray(i1)[h])

@@ -53,10 +53,21 @@ def _use_mxu_spheres(n: int, interpret: bool) -> bool:
 def _sphere_kernel(ro_ref, rd_ref, rt_ref,
                    cx_ref, cy_ref, cz_ref, vx_ref, vy_ref, vz_ref,
                    t0_ref, r2_ref,
-                   out_t_ref, out_i_ref, bt_ref, bi_ref,
-                   *, n_blocks: int, t_min: float, has_moving: bool):
+                   *rest,
+                   n_blocks: int, t_min: float, has_moving: bool,
+                   cull: bool = False):
     """Sphere quadratic sweep (src/Lib.hs:1081-1108); moving spheres lerp
-    their center by ray time.  Padded rows have radius^2 = 0: never hit."""
+    their center by ray time.  Padded rows have radius^2 = 0: never hit.
+
+    With ``cull`` a per-(tile, block) SMEM mask (computed by the XLA-side
+    slab test in _needed_mask, exact by the block-AABB containment
+    argument) gates each 128-prim block behind a scalar pl.when - no
+    vector slab work in-kernel, unlike the round-2 in-kernel cull that
+    measured 2x overhead (PERFLOG.md)."""
+    if cull:
+        needed_ref, out_t_ref, out_i_ref, bt_ref, bi_ref = rest
+    else:
+        out_t_ref, out_i_ref, bt_ref, bi_ref = rest
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]  # (T,1)
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
     a = rdx * rdx + rdy * rdy + rdz * rdz
@@ -64,7 +75,8 @@ def _sphere_kernel(ro_ref, rd_ref, rt_ref,
     rt = rt_ref[:, 0:1]
     bt_ref[:] = jnp.full((TILE_R, 1), BIG)
     bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
-    for pb in range(n_blocks):
+
+    def do_block(pb):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
         cx = cx_ref[0, s][None, :]
         cy = cy_ref[0, s][None, :]
@@ -90,6 +102,16 @@ def _sphere_kernel(ro_ref, rd_ref, rt_ref,
         closer = bt < prev
         bt_ref[:] = jnp.where(closer, bt, prev)
         bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+
+    if cull:
+        tile = pl.program_id(0)
+    for pb in range(n_blocks):
+        if cull:
+            @pl.when(needed_ref[tile, pb] > 0)
+            def _(pb=pb):
+                do_block(pb)
+        else:
+            do_block(pb)
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
 
@@ -228,15 +250,20 @@ def _sweep_sphere_mxu(scene: SceneData, ro, rd, rt, lo: int, hi: int,
 def _quad_kernel(ro_ref, rd_ref, rt_ref,
                  qpx_ref, qpy_ref, qpz_ref, qnx_ref, qny_ref, qnz_ref, qd_ref,
                  u1x_ref, u1y_ref, u1z_ref, u2x_ref, u2y_ref, u2z_ref,
-                 out_t_ref, out_i_ref, bt_ref, bi_ref,
-                 *, n_blocks: int, t_min: float):
+                 *rest,
+                 n_blocks: int, t_min: float, cull: bool = False):
     """World-space parallelogram sweep (generalizes src/Lib.hs:1005-1028).
     Padded rows have n = 0: tq = 0/0 = NaN, every comparison False."""
+    if cull:
+        needed_ref, out_t_ref, out_i_ref, bt_ref, bi_ref = rest
+    else:
+        out_t_ref, out_i_ref, bt_ref, bi_ref = rest
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
     bt_ref[:] = jnp.full((TILE_R, 1), BIG)
     bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
-    for pb in range(n_blocks):
+
+    def do_block(pb):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
         nx = qnx_ref[0, s][None, :]
         ny = qny_ref[0, s][None, :]
@@ -259,23 +286,38 @@ def _quad_kernel(ro_ref, rd_ref, rt_ref,
         closer = bt < prev
         bt_ref[:] = jnp.where(closer, bt, prev)
         bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+
+    if cull:
+        tile = pl.program_id(0)
+    for pb in range(n_blocks):
+        if cull:
+            @pl.when(needed_ref[tile, pb] > 0)
+            def _(pb=pb):
+                do_block(pb)
+        else:
+            do_block(pb)
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
 
 
 def _box_kernel(ro_ref, rd_ref, rt_ref,
                 x0_ref, y0_ref, z0_ref, x1_ref, y1_ref, z1_ref,
-                out_t_ref, out_i_ref, bt_ref, bi_ref,
-                *, n_blocks: int, t_min: float):
+                *rest,
+                n_blocks: int, t_min: float, cull: bool = False):
     """Axis-aligned solid-box slab sweep: one test per box instead of the
     reference cuboid's 6 rect tests (src/Lib.hs:594-605, 989-1004).
     Padded rows are inverted boxes (min > max): tf < tn, never hit."""
+    if cull:
+        needed_ref, out_t_ref, out_i_ref, bt_ref, bi_ref = rest
+    else:
+        out_t_ref, out_i_ref, bt_ref, bi_ref = rest
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
     ix = 1.0 / rdx; iy = 1.0 / rdy; iz = 1.0 / rdz
     bt_ref[:] = jnp.full((TILE_R, 1), BIG)
     bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
-    for pb in range(n_blocks):
+
+    def do_block(pb):
         s = slice(pb * PBLK, (pb + 1) * PBLK)
         tax = (x0_ref[0, s][None, :] - rox) * ix
         tbx = (x1_ref[0, s][None, :] - rox) * ix
@@ -298,6 +340,16 @@ def _box_kernel(ro_ref, rd_ref, rt_ref,
         closer = bt < prev
         bt_ref[:] = jnp.where(closer, bt, prev)
         bi_ref[:] = jnp.where(closer, bi, bi_ref[:])
+
+    if cull:
+        tile = pl.program_id(0)
+    for pb in range(n_blocks):
+        if cull:
+            @pl.when(needed_ref[tile, pb] > 0)
+            def _(pb=pb):
+                do_block(pb)
+        else:
+            do_block(pb)
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
 
@@ -306,14 +358,111 @@ def _pad1(a, n, pad, fill=0.0):
     return jnp.pad(a[:n], (0, pad), constant_values=fill)[None]
 
 
+def _range_aabbs(scene: SceneData, lo: int, hi: int, flavor: str):
+    """(n, 3) conservative per-prim AABBs of rows [lo, hi); motion union
+    over t in [0, 1] for moving spheres (cf. the chunk AABB in
+    ops/intersect.py and the reference's boundingBox, src/Lib.hs:905-927)."""
+    p = scene.prims
+    take = lambda a: jax.lax.slice_in_dim(a, lo, hi, axis=0)
+    if flavor == "sphere":
+        c = take(p.center)
+        v = take(p.velocity)
+        t0 = take(p.time0)[:, None]
+        r = take(p.radius)[:, None]
+        c0 = c - v * t0
+        c1 = c + v * (1.0 - t0)
+        return jnp.minimum(c0, c1) - r, jnp.maximum(c0, c1) + r
+    if flavor == "box":
+        return take(p.box_min), take(p.box_max)
+    p0 = take(p.quad_p0)
+    e1 = take(p.quad_e1)
+    e2 = take(p.quad_e2)
+    cs = jnp.stack([p0, p0 + e1, p0 + e2, p0 + e1 + e2])
+    return cs.min(0), cs.max(0)
+
+
+def _block_aabbs(alo, ahi, pad: int):
+    """Union the per-prim AABBs into per-128-block AABBs (B, 3)."""
+    alo = jnp.pad(alo, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    ahi = jnp.pad(ahi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    B = alo.shape[0] // PBLK
+    return (alo.reshape(B, PBLK, 3).min(1), ahi.reshape(B, PBLK, 3).max(1))
+
+
+def _needed_mask(ro, rd, blo, bhi, t_min: float):
+    """(T, B) int32: does ANY ray in tile t enter block b's AABB past
+    t_min?  Skipping is exact: a primitive hit lies inside its block's
+    box, so it lies within [tn, tf] of the box slab (slack covers f32
+    slab-vs-primitive rounding; same rule as ops/intersect.py's chunk
+    cull).  Zero direction components are nudged to keep the slab finite
+    (conservative: a huge |t| never excludes a block wrongly)."""
+    safe = jnp.where(jnp.abs(rd) < 1e-30,
+                     jnp.where(rd < 0, -1e-30, 1e-30), rd)
+    inv = 1.0 / safe
+    R = ro.shape[0]
+    B = blo.shape[0]
+    tn = jnp.full((R, B), -jnp.inf)
+    tf = jnp.full((R, B), jnp.inf)
+    for ax in range(3):
+        t0 = (blo[None, :, ax] - ro[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        t1 = (bhi[None, :, ax] - ro[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    slack = 1e-4 * (1.0 + jnp.abs(tn))
+    need = (tn - slack <= tf) & (tf > t_min)
+    return need.reshape(R // TILE_R, TILE_R, B).any(1).astype(jnp.int32)
+
+
+def _spread10(v):
+    """Interleave 10 bits with two zero bits each (Morton component)."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _sort_key(scene: SceneData, ro, rd):
+    """Ray-coherence sort key: 3-bit direction octant major, 29-bit Morton
+    code of the origin within the solid-scene AABB minor.  Measured the
+    best tile-coherence key on real bounced pool waves
+    (tools/study_sort_cull.py: next-week block-skip 1.6% unsorted ->
+    38-40% sorted)."""
+    los, his = [], []
+    n_sb = scene.n_sphere + scene.n_box
+    for lo, hi, flavor in ((0, scene.n_sphere, "sphere"),
+                           (scene.n_sphere, n_sb, "box"),
+                           (n_sb, scene.n_solid, "quad")):
+        if hi <= lo:
+            continue
+        alo, ahi = _range_aabbs(scene, lo, hi, flavor)
+        los.append(alo.min(0))
+        his.append(ahi.max(0))
+    wlo = jnp.stack(los).min(0)
+    whi = jnp.stack(his).max(0)
+    oct_ = ((rd[:, 0] < 0).astype(jnp.uint32) * 4
+            + (rd[:, 1] < 0).astype(jnp.uint32) * 2
+            + (rd[:, 2] < 0).astype(jnp.uint32))
+    q = jnp.clip((ro - wlo) / jnp.maximum(whi - wlo, 1e-9), 0.0, 0.999999)
+    q = (q * 1024.0).astype(jnp.uint32)
+    m = ((_spread10(q[:, 0]) << 2) | (_spread10(q[:, 1]) << 1)
+         | _spread10(q[:, 2]))
+    return (oct_ << 29) | (m >> 1)
+
+
 def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
-                 flavor: str, interpret: bool, moving: bool = False):
+                 flavor: str, interpret: bool, moving: bool = False,
+                 cull: bool = False):
     """(bt, bi) over prim rows [lo, hi) via one kind-specialized kernel.
 
     ``moving`` applies only to the sphere flavor: the scene compiler sorts
     static spheres first within the sphere range, so the static launch
     skips the per-(ray, prim) center-lerp entirely (exact - a
-    zero-velocity lerp is the identity)."""
+    zero-velocity lerp is the identity).
+
+    ``cull`` precomputes a per-(256-ray tile, 128-prim block) needed mask
+    with an XLA slab test and gates each block in-kernel behind a scalar
+    SMEM read - profitable only when rays are tile-coherent (sorted)."""
     p = scene.prims
     n = hi - lo
     pad = (-n) % PBLK
@@ -332,7 +481,8 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
             _pad1(take(p.radius) ** 2, n, pad, 0.0),  # pad: r^2=0 never hits
         )
         kern = partial(_sphere_kernel, n_blocks=P // PBLK,
-                       t_min=float(scene.t_min), has_moving=moving)
+                       t_min=float(scene.t_min), has_moving=moving,
+                       cull=cull)
     elif flavor == "box":
         fields = (
             _pad1(take(p.box_min[:, 0]), n, pad, 1.0),  # pad: inverted box
@@ -343,7 +493,7 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
             _pad1(take(p.box_max[:, 2]), n, pad, -1.0),
         )
         kern = partial(_box_kernel, n_blocks=P // PBLK,
-                       t_min=float(scene.t_min))
+                       t_min=float(scene.t_min), cull=cull)
     else:  # quad
         fields = (
             _pad1(take(p.quad_p0[:, 0]), n, pad),
@@ -361,16 +511,26 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
             _pad1(take(p.quad_inv2[:, 2]), n, pad),
         )
         kern = partial(_quad_kernel, n_blocks=P // PBLK,
-                       t_min=float(scene.t_min))
+                       t_min=float(scene.t_min), cull=cull)
 
     Rp = ro.shape[0]
     ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
+    extra_in, extra_specs = (), []
+    if cull:
+        alo, ahi = _range_aabbs(scene, lo, hi, flavor)
+        blo, bhi = _block_aabbs(alo, ahi, pad)
+        needed = _needed_mask(ro, rd, blo, bhi, float(scene.t_min))
+        extra_in = (needed,)
+        # full-array SMEM residency (a (1, B) block fails Mosaic's
+        # last-two-dims rule); the kernel indexes rows by program_id
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_t, out_i = pl.pallas_call(
         kern,
         grid=(Rp // TILE_R,),
-        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields),
+        in_specs=[ray_spec, ray_spec, rt_spec] + [prim_spec] * len(fields)
+        + extra_specs,
         out_specs=(
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -384,19 +544,56 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
             pltpu.VMEM((TILE_R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(ro, rd, rt, *fields)
+    )(ro, rd, rt, *fields, *extra_in)
     return out_t[:, 0], out_i[:, 0] + lo
 
 
+def _use_sort_cull(scene: SceneData, interpret: bool) -> bool:
+    """Sorted sweep policy.  Tile-coherence sorting only pays when there
+    are enough 128-prim blocks for the per-tile mask to skip meaningfully
+    (tools/study_sort_cull.py: next-week's 13 blocks skip 38-40% sorted,
+    book1's 4 giant blocks only ~11%).  Default off pending hardware
+    measurement; TPU_RAY_SORT=1 forces on, =0 forces off."""
+    import os
+
+    v = os.environ.get("TPU_RAY_SORT", "auto")
+    if v == "1":
+        return True
+    if v == "auto":
+        return False  # flip to a block-count threshold once measured
+    return False
+
+
 def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            sort: bool | None = None):
     """(best_t, best_i) of each ray against the solid prims, via one
     kind-specialized Pallas launch per (non-empty) kind range.
 
     ``interpret`` defaults to True on CPU (tests) and False on TPU.
+
+    ``sort`` reorders the rays by direction-octant + origin-Morton before
+    the sweep (one u32 sort_key_val + one packed gather) and un-permutes
+    the two outputs afterwards (one packed gather) - bit-exact, since
+    every (ray, prim) pair still runs the identical test.  Sorted tiles
+    are coherent enough for the per-tile block cull to fire
+    (tools/study_sort_cull.py), turning the dense sweep into a
+    data-parallel two-level hierarchy: XLA slab test over 128-prim
+    Morton blocks -> per-kind Pallas sweep of the surviving blocks.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    if sort is None:
+        sort = _use_sort_cull(scene, interpret)
+    R0 = ro.shape[0]
+    if sort:
+        key = _sort_key(scene, ro, rd)
+        _, idx = jax.lax.sort_key_val(key, jnp.arange(R0, dtype=jnp.int32))
+        packed = jnp.concatenate(
+            [ro, rd, rt[:, None], jnp.zeros((R0, 1), jnp.float32)], axis=1)
+        packed = jnp.take(packed, idx, axis=0)
+        ro, rd, rt = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+
     R = ro.shape[0]
     pad_r = (-R) % TILE_R
     if pad_r:
@@ -422,9 +619,21 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
             bt, bi = _sweep_sphere_mxu(scene, ro, rd, rt2, lo, hi, interpret)
         else:
             bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor,
-                                  interpret, moving=moving)
+                                  interpret, moving=moving, cull=sort)
         closer = bt < best_t
         best_t = jnp.where(closer, bt, best_t)
         best_i = jnp.where(closer, bi, best_i)
     best_t = jnp.where(best_t[:R] >= BIG, jnp.inf, best_t[:R])
-    return best_t, best_i[:R]
+    best_i = best_i[:R]
+    if sort:
+        # un-permute both outputs with ONE packed scatter-free gather:
+        # rows go back to their pre-sort lanes via the inverse permutation
+        inv = jnp.zeros((R0,), jnp.int32).at[idx].set(
+            jnp.arange(R0, dtype=jnp.int32))
+        out = jnp.stack(
+            [best_t, jax.lax.bitcast_convert_type(best_i, jnp.float32)],
+            axis=1)
+        out = jnp.take(out, inv, axis=0)
+        best_t = out[:, 0]
+        best_i = jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
+    return best_t, best_i
