@@ -450,6 +450,230 @@ def _sort_key(scene: SceneData, ro, rd):
     return (oct_ << 29) | (m >> 1)
 
 
+def _tile_lists(ro, rd, blo, bhi, t_min: float):
+    """Front-to-back compacted block lists per 256-ray tile.
+
+    Returns (cnt (T, 1) int32, lst (T, B) int32): lst[t, :cnt[t]] are the
+    block ids some ray in tile t can enter (same exact slab rule as
+    _needed_mask), ordered by the tile's closest entry distance so the
+    kernel accumulates near-to-far."""
+    safe = jnp.where(jnp.abs(rd) < 1e-30,
+                     jnp.where(rd < 0, -1e-30, 1e-30), rd)
+    inv = 1.0 / safe
+    R = ro.shape[0]
+    B = blo.shape[0]
+    tn = jnp.full((R, B), -jnp.inf)
+    tf = jnp.full((R, B), jnp.inf)
+    for ax in range(3):
+        t0 = (blo[None, :, ax] - ro[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        t1 = (bhi[None, :, ax] - ro[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    slack = 1e-4 * (1.0 + jnp.abs(tn))
+    need = (tn - slack <= tf) & (tf > t_min)
+    T = R // TILE_R
+    needT = need.reshape(T, TILE_R, B).any(1)
+    keyT = jnp.where(need, jnp.maximum(tn, 0.0), jnp.inf) \
+        .reshape(T, TILE_R, B).min(1)
+    order = jnp.argsort(jnp.where(needT, keyT, jnp.inf), axis=1)
+    return (needT.sum(1, dtype=jnp.int32)[:, None],
+            order.astype(jnp.int32))
+
+
+def _pack_blocks(fields, rows: int):
+    """Stack per-prim (1, P) fields into a block-major (B*rows, PBLK)
+    array: rows [b*rows, (b+1)*rows) hold block b's fields, so one
+    ALIGNED dynamic slice fetches a whole block (rows is a multiple of 8,
+    the VMEM sublane tile)."""
+    P = fields[0].shape[1]
+    stk = jnp.concatenate(
+        list(fields) + [jnp.zeros((rows - len(fields), P), jnp.float32)],
+        axis=0)                                     # (rows, P)
+    return (stk.reshape(rows, P // PBLK, PBLK)
+            .transpose(1, 0, 2).reshape(-1, PBLK))  # (B*rows, PBLK)
+
+
+def _compact_kernel(ro_ref, rd_ref, rt_ref, pk_ref, cnt_ref, lst_ref,
+                    out_t_ref, out_i_ref, bt_ref, bi_ref,
+                    *, flavor: str, rows: int, t_min: float,
+                    has_moving: bool):
+    """Kind-specialized sweep over a per-tile compacted block list.
+
+    The culling decision is fully precomputed (XLA slab test ->
+    _tile_lists in SMEM); the kernel just fori_loops over the tile's
+    needed blocks, fetching each block's packed fields with one aligned
+    (rows, 128) dynamic slice.  No per-block predication - the round-2
+    in-kernel cull's 2x pl.when overhead (PERFLOG.md) doesn't apply."""
+    tile = pl.program_id(0)
+    rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
+    rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
+    if flavor == "sphere":
+        a = rdx * rdx + rdy * rdy + rdz * rdz
+        inv_a = 1.0 / a
+        rt = rt_ref[:, 0:1]
+    elif flavor == "box":
+        ix = 1.0 / rdx; iy = 1.0 / rdy; iz = 1.0 / rdz
+    bt_ref[:] = jnp.full((TILE_R, 1), BIG)
+    bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+
+    def body(j, carry):
+        pb = lst_ref[tile, j]
+        blk = pk_ref[pl.ds(pb * rows, rows), :]     # (rows, 128)
+        if flavor == "sphere":
+            cx = blk[0:1, :]; cy = blk[1:2, :]; cz = blk[2:3, :]
+            if has_moving:
+                dt = rt - blk[6:7, :]
+                cx = cx + blk[3:4, :] * dt
+                cy = cy + blk[4:5, :] * dt
+                cz = cz + blk[5:6, :] * dt
+            ocx = rox - cx; ocy = roy - cy; ocz = roz - cz
+            b = ocx * rdx + ocy * rdy + ocz * rdz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - blk[7:8, :]
+            disc = b * b - a * c
+            ok = disc > 0.0
+            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b - sd) * inv_a
+            t2 = (-b + sd) * inv_a
+            t = jnp.where(ok & (t1 > t_min), t1,
+                          jnp.where(ok & (t2 > t_min), t2, BIG))
+        elif flavor == "box":
+            tax = (blk[0:1, :] - rox) * ix
+            tbx = (blk[3:4, :] - rox) * ix
+            tay = (blk[1:2, :] - roy) * iy
+            tby = (blk[4:5, :] - roy) * iy
+            taz = (blk[2:3, :] - roz) * iz
+            tbz = (blk[5:6, :] - roz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                         jnp.minimum(tay, tby)),
+                             jnp.minimum(taz, tbz))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                         jnp.maximum(tay, tby)),
+                             jnp.maximum(taz, tbz))
+            ok = tf > tn
+            t = jnp.where(ok & (tn > t_min), tn,
+                          jnp.where(ok & (tf > t_min), tf, BIG))
+        else:  # quad
+            nx = blk[3:4, :]; ny = blk[4:5, :]; nz = blk[5:6, :]
+            dn = rdx * nx + rdy * ny + rdz * nz
+            tq = (blk[6:7, :] - (rox * nx + roy * ny + roz * nz)) / dn
+            xx = rox + tq * rdx - blk[0:1, :]
+            xy = roy + tq * rdy - blk[1:2, :]
+            xz = roz + tq * rdz - blk[2:3, :]
+            uq = xx * blk[7:8, :] + xy * blk[8:9, :] + xz * blk[9:10, :]
+            vq = xx * blk[10:11, :] + xy * blk[11:12, :] + xz * blk[12:13, :]
+            okq = (tq > t_min) & (uq >= 0.0) & (uq <= 1.0) \
+                & (vq >= 0.0) & (vq <= 1.0)
+            t = jnp.where(okq, tq, BIG)
+        bt = jnp.min(t, axis=1, keepdims=True)
+        bi = (jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+              + pb * PBLK)
+        prev = bt_ref[:]
+        prev_i = bi_ref[:]
+        # lower-prim-id tie-break restores the plain kernel's ascending
+        # visit order semantics under front-to-back visiting (exact f32
+        # cross-block t ties)
+        closer = (bt < prev) | ((bt == prev) & (bi < prev_i))
+        bt_ref[:] = jnp.where(closer, bt, prev)
+        bi_ref[:] = jnp.where(closer, bi, prev_i)
+        return carry
+
+    jax.lax.fori_loop(0, cnt_ref[tile, 0], body, 0)
+    out_t_ref[:, 0] = bt_ref[:, 0]
+    out_i_ref[:, 0] = bi_ref[:, 0]
+
+
+def _sweep_range_compact(scene: SceneData, ro, rd, rt, lo: int, hi: int,
+                         flavor: str, interpret: bool,
+                         moving: bool = False):
+    """Compacted-list variant of _sweep_range: per-tile front-to-back
+    block lists replace the dense block loop.  Bit-exact with the plain
+    sweep: every surviving (ray, prim) pair runs the identical math, a
+    skipped block cannot contain the winner (AABB containment), and the
+    in-kernel lower-prim-id tie-break reproduces the plain kernel's
+    ascending visit order on exact f32 cross-block t ties."""
+    p = scene.prims
+    n = hi - lo
+    pad = (-n) % PBLK
+    P = n + pad
+    take = lambda a: jax.lax.slice_in_dim(a, lo, hi, axis=0)
+
+    if flavor == "sphere":
+        fields = (
+            _pad1(take(p.center[:, 0]), n, pad),
+            _pad1(take(p.center[:, 1]), n, pad),
+            _pad1(take(p.center[:, 2]), n, pad),
+            _pad1(take(p.velocity[:, 0]), n, pad),
+            _pad1(take(p.velocity[:, 1]), n, pad),
+            _pad1(take(p.velocity[:, 2]), n, pad),
+            _pad1(take(p.time0), n, pad),
+            _pad1(take(p.radius) ** 2, n, pad, 0.0),
+        )
+        rows = 8
+    elif flavor == "box":
+        fields = (
+            _pad1(take(p.box_min[:, 0]), n, pad, 1.0),
+            _pad1(take(p.box_min[:, 1]), n, pad, 1.0),
+            _pad1(take(p.box_min[:, 2]), n, pad, 1.0),
+            _pad1(take(p.box_max[:, 0]), n, pad, -1.0),
+            _pad1(take(p.box_max[:, 1]), n, pad, -1.0),
+            _pad1(take(p.box_max[:, 2]), n, pad, -1.0),
+        )
+        rows = 8
+    else:  # quad
+        fields = (
+            _pad1(take(p.quad_p0[:, 0]), n, pad),
+            _pad1(take(p.quad_p0[:, 1]), n, pad),
+            _pad1(take(p.quad_p0[:, 2]), n, pad),
+            _pad1(take(p.quad_n[:, 0]), n, pad),
+            _pad1(take(p.quad_n[:, 1]), n, pad),
+            _pad1(take(p.quad_n[:, 2]), n, pad),
+            _pad1(take(p.quad_d), n, pad),
+            _pad1(take(p.quad_inv1[:, 0]), n, pad),
+            _pad1(take(p.quad_inv1[:, 1]), n, pad),
+            _pad1(take(p.quad_inv1[:, 2]), n, pad),
+            _pad1(take(p.quad_inv2[:, 0]), n, pad),
+            _pad1(take(p.quad_inv2[:, 1]), n, pad),
+            _pad1(take(p.quad_inv2[:, 2]), n, pad),
+        )
+        rows = 16
+    pk = _pack_blocks(fields, rows)
+    alo, ahi = _range_aabbs(scene, lo, hi, flavor)
+    blo, bhi = _block_aabbs(alo, ahi, pad)
+    cnt, lst = _tile_lists(ro, rd, blo, bhi, float(scene.t_min))
+
+    kern = partial(_compact_kernel, flavor=flavor, rows=rows,
+                   t_min=float(scene.t_min), has_moving=moving)
+    Rp = ro.shape[0]
+    ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rt_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_t, out_i = pl.pallas_call(
+        kern,
+        grid=(Rp // TILE_R,),
+        in_specs=[ray_spec, ray_spec, rt_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ro, rd, rt, pk, cnt, lst)
+    return out_t[:, 0], out_i[:, 0] + lo
+
+
 def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
                  flavor: str, interpret: bool, moving: bool = False,
                  cull: bool = False):
@@ -611,12 +835,18 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     )
     best_t = jnp.full((R + pad_r,), BIG)
     best_i = jnp.zeros((R + pad_r,), jnp.int32)
+    import os
+
+    style = os.environ.get("TPU_RAY_CULL_STYLE", "compact")
     for lo, hi, flavor, moving in ranges:
         if hi <= lo:
             continue
         if (flavor == "sphere" and not moving
                 and _use_mxu_spheres(hi - lo, interpret)):
             bt, bi = _sweep_sphere_mxu(scene, ro, rd, rt2, lo, hi, interpret)
+        elif sort and style == "compact":
+            bt, bi = _sweep_range_compact(scene, ro, rd, rt2, lo, hi,
+                                          flavor, interpret, moving=moving)
         else:
             bt, bi = _sweep_range(scene, ro, rd, rt2, lo, hi, flavor,
                                   interpret, moving=moving, cull=sort)
