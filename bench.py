@@ -116,6 +116,10 @@ def main(argv=None) -> int:
     p.add_argument("--child", action="store_true",
                    help="run the measurement in-process (internal)")
     p.add_argument("--attempts", type=int, default=3)
+    p.add_argument("--suite", default="next-week",
+                   help="comma-separated extra configs appended to the "
+                        "headline JSON under 'suite' (best-effort: failures "
+                        "never lose the headline); '' disables")
     p.add_argument("--resume", action="store_true",
                    help="let attempts resume each other's auto checkpoints; "
                         "the reported value is the SUM of render time across "
@@ -164,6 +168,31 @@ def main(argv=None) -> int:
                 done["vs_baseline"] = (
                     round(base / done["value"], 2) if base else None
                 )
+            # best-effort extra configs: the VERDICT noted a book1-only
+            # bench hides the big-scene numbers from the driver record
+            suite = {}
+            for extra in filter(None, args.suite.split(",")):
+                if extra == args.config or extra not in CONFIGS:
+                    continue
+                ex_args = [sys.executable, os.path.abspath(__file__),
+                           "--child", "--config", extra,
+                           "--engine", args.engine,
+                           "--rays-per-wave", str(args.rays_per_wave)]
+                try:
+                    rr = subprocess.run(ex_args, capture_output=True,
+                                        text=True, timeout=1800)
+                    sys.stderr.write(rr.stderr)
+                    ln = [l for l in rr.stdout.splitlines()
+                          if l.startswith("{")]
+                    if rr.returncode == 0 and ln:
+                        d = json.loads(ln[-1])
+                        suite[extra] = {"value": d["value"],
+                                        "vs_baseline": d["vs_baseline"]}
+                except Exception as e:  # never lose the headline
+                    print(f"[bench] suite config {extra} failed: {e}",
+                          file=sys.stderr)
+            if suite:
+                done["suite"] = suite
             print(json.dumps(done))
             return 0
         partial_s += sum(p_.get("elapsed", 0.0) for p_ in parsed

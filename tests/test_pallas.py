@@ -132,6 +132,32 @@ def test_mxu_sphere_sweep_matches_classic():
     assert agree > 0.99
 
 
+def test_box_padding_rows_never_hit():
+    """Regression: box-range padding rows must be degenerate.  The old
+    min=1/max=-1 "inverted box" padding was min/max-normalized by the slab
+    test into a REAL [-1,1]^3 box at the origin, giving phantom hits (and
+    out-of-range prim ids) to any ray crossing the origin — found on
+    next-week-final at R=163840 (tools/debug_cull_hw5/6.py)."""
+    from tpu_ray.ops.intersect_pallas import intersect_solids_pallas
+
+    # one box far from the origin -> 127 padding rows in the box block
+    scene = build_scene([
+        ob.Box((50, 50, 50), (52, 52, 52), ob.Lambertian((1, 1, 1))),
+    ])
+    assert scene.n_box == 1
+    # rays through the origin (the phantom box's location), away from the box
+    r = np.random.default_rng(99)
+    ro = jnp.asarray(r.uniform(-8, 8, (256, 3)), jnp.float32)
+    rd = jnp.asarray(-np.asarray(ro) + r.normal(0, 0.05, (256, 3)),
+                     jnp.float32)  # aimed at the origin
+    rt = jnp.zeros((256,), jnp.float32)
+    bt, bi = intersect_solids_pallas(scene, ro, rd, rt, interpret=True)
+    bt = np.asarray(bt)
+    hits = np.isfinite(bt)
+    # none of these rays reach (50,50,50)-(52,52,52); any hit is a phantom
+    assert not hits.any(), f"phantom padding hits at t={bt[hits][:5]}"
+
+
 def test_sorted_cull_sweep_matches_plain():
     """Octant+Morton ray sorting + per-tile block culling must be
     bit-exact vs the plain sweep: every surviving (ray, prim) pair runs

@@ -107,7 +107,7 @@ def _sphere_kernel(ro_ref, rd_ref, rt_ref,
         tile = pl.program_id(0)
     for pb in range(n_blocks):
         if cull:
-            @pl.when(needed_ref[tile, pb] > 0)
+            @pl.when(needed_ref[0, tile * n_blocks + pb] > 0)
             def _(pb=pb):
                 do_block(pb)
         else:
@@ -291,7 +291,7 @@ def _quad_kernel(ro_ref, rd_ref, rt_ref,
         tile = pl.program_id(0)
     for pb in range(n_blocks):
         if cull:
-            @pl.when(needed_ref[tile, pb] > 0)
+            @pl.when(needed_ref[0, tile * n_blocks + pb] > 0)
             def _(pb=pb):
                 do_block(pb)
         else:
@@ -306,7 +306,10 @@ def _box_kernel(ro_ref, rd_ref, rt_ref,
                 n_blocks: int, t_min: float, cull: bool = False):
     """Axis-aligned solid-box slab sweep: one test per box instead of the
     reference cuboid's 6 rect tests (src/Lib.hs:594-605, 989-1004).
-    Padded rows are inverted boxes (min > max): tf < tn, never hit."""
+    Padded rows are degenerate point boxes (min == max): after the per-
+    axis min/max normalization tn >= tf, so the strict tf > tn never
+    passes.  (Inverted min > max padding does NOT miss - normalization
+    turns it into a real box.)"""
     if cull:
         needed_ref, out_t_ref, out_i_ref, bt_ref, bi_ref = rest
     else:
@@ -345,7 +348,7 @@ def _box_kernel(ro_ref, rd_ref, rt_ref,
         tile = pl.program_id(0)
     for pb in range(n_blocks):
         if cull:
-            @pl.when(needed_ref[tile, pb] > 0)
+            @pl.when(needed_ref[0, tile * n_blocks + pb] > 0)
             def _(pb=pb):
                 do_block(pb)
         else:
@@ -496,14 +499,20 @@ def _pack_blocks(fields, rows: int):
 def _compact_kernel(ro_ref, rd_ref, rt_ref, pk_ref, cnt_ref, lst_ref,
                     out_t_ref, out_i_ref, bt_ref, bi_ref,
                     *, flavor: str, rows: int, t_min: float,
-                    has_moving: bool):
+                    has_moving: bool, n_b: int):
     """Kind-specialized sweep over a per-tile compacted block list.
 
     The culling decision is fully precomputed (XLA slab test ->
     _tile_lists in SMEM); the kernel just fori_loops over the tile's
     needed blocks, fetching each block's packed fields with one aligned
     (rows, 128) dynamic slice.  No per-block predication - the round-2
-    in-kernel cull's 2x pl.when overhead (PERFLOG.md) doesn't apply."""
+    in-kernel cull's 2x pl.when overhead (PERFLOG.md) doesn't apply.
+
+    cnt/lst arrive FLATTENED to (1, T) / (1, T*B) SMEM residents: a
+    (T, 1)/(T, B) shape pads every row's minor dim to 128 lanes in SMEM
+    (1250 tiles -> 628K per operand) and OOMs the 1M smem budget at
+    production lane counts; one long row pads once.  (A (1, B) per-tile
+    SMEM window is not an option - Mosaic's last-two-dims rule.)"""
     tile = pl.program_id(0)
     rox = ro_ref[:, 0:1]; roy = ro_ref[:, 1:2]; roz = ro_ref[:, 2:3]
     rdx = rd_ref[:, 0:1]; rdy = rd_ref[:, 1:2]; rdz = rd_ref[:, 2:3]
@@ -517,7 +526,7 @@ def _compact_kernel(ro_ref, rd_ref, rt_ref, pk_ref, cnt_ref, lst_ref,
     bi_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
 
     def body(j, carry):
-        pb = lst_ref[tile, j]
+        pb = lst_ref[0, tile * n_b + j]
         blk = pk_ref[pl.ds(pb * rows, rows), :]     # (rows, 128)
         if flavor == "sphere":
             cx = blk[0:1, :]; cy = blk[1:2, :]; cz = blk[2:3, :]
@@ -577,7 +586,7 @@ def _compact_kernel(ro_ref, rd_ref, rt_ref, pk_ref, cnt_ref, lst_ref,
         bi_ref[:] = jnp.where(closer, bi, prev_i)
         return carry
 
-    jax.lax.fori_loop(0, cnt_ref[tile, 0], body, 0)
+    jax.lax.fori_loop(0, cnt_ref[0, tile], body, 0)
     out_t_ref[:, 0] = bt_ref[:, 0]
     out_i_ref[:, 0] = bi_ref[:, 0]
 
@@ -611,12 +620,12 @@ def _sweep_range_compact(scene: SceneData, ro, rd, rt, lo: int, hi: int,
         rows = 8
     elif flavor == "box":
         fields = (
-            _pad1(take(p.box_min[:, 0]), n, pad, 1.0),
-            _pad1(take(p.box_min[:, 1]), n, pad, 1.0),
-            _pad1(take(p.box_min[:, 2]), n, pad, 1.0),
-            _pad1(take(p.box_max[:, 0]), n, pad, -1.0),
-            _pad1(take(p.box_max[:, 1]), n, pad, -1.0),
-            _pad1(take(p.box_max[:, 2]), n, pad, -1.0),
+            _pad1(take(p.box_min[:, 0]), n, pad),  # pad: point box, see below
+            _pad1(take(p.box_min[:, 1]), n, pad),
+            _pad1(take(p.box_min[:, 2]), n, pad),
+            _pad1(take(p.box_max[:, 0]), n, pad),
+            _pad1(take(p.box_max[:, 1]), n, pad),
+            _pad1(take(p.box_max[:, 2]), n, pad),
         )
         rows = 8
     else:  # quad
@@ -640,9 +649,14 @@ def _sweep_range_compact(scene: SceneData, ro, rd, rt, lo: int, hi: int,
     alo, ahi = _range_aabbs(scene, lo, hi, flavor)
     blo, bhi = _block_aabbs(alo, ahi, pad)
     cnt, lst = _tile_lists(ro, rd, blo, bhi, float(scene.t_min))
+    n_b = lst.shape[1]
+    # flatten for SMEM residency: (T, B) pads EVERY row to 128 lanes
+    # (smem OOM at 1250 tiles); one (1, T*B) row pads once
+    cnt = cnt.reshape(1, -1)
+    lst = lst.reshape(1, -1)
 
     kern = partial(_compact_kernel, flavor=flavor, rows=rows,
-                   t_min=float(scene.t_min), has_moving=moving)
+                   t_min=float(scene.t_min), has_moving=moving, n_b=n_b)
     Rp = ro.shape[0]
     ray_spec = pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -708,13 +722,20 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
                        t_min=float(scene.t_min), has_moving=moving,
                        cull=cull)
     elif flavor == "box":
+        # pad: DEGENERATE point boxes (min == max == 0).  An "inverted"
+        # box (min > max) does NOT miss here: the slab test min/max-
+        # normalizes each axis pair, so min=1/max=-1 is literally the box
+        # [-1,1]^3 at the origin (real bug found at next-week R=163840 -
+        # phantom t at y=1.0 exactly, tools/debug_cull_hw5/6.py).  A
+        # min==max box gives tn = max_a(v_a) >= min_a(v_a) = tf, so the
+        # strict tf > tn test can never pass.
         fields = (
-            _pad1(take(p.box_min[:, 0]), n, pad, 1.0),  # pad: inverted box
-            _pad1(take(p.box_min[:, 1]), n, pad, 1.0),
-            _pad1(take(p.box_min[:, 2]), n, pad, 1.0),
-            _pad1(take(p.box_max[:, 0]), n, pad, -1.0),
-            _pad1(take(p.box_max[:, 1]), n, pad, -1.0),
-            _pad1(take(p.box_max[:, 2]), n, pad, -1.0),
+            _pad1(take(p.box_min[:, 0]), n, pad),
+            _pad1(take(p.box_min[:, 1]), n, pad),
+            _pad1(take(p.box_min[:, 2]), n, pad),
+            _pad1(take(p.box_max[:, 0]), n, pad),
+            _pad1(take(p.box_max[:, 1]), n, pad),
+            _pad1(take(p.box_max[:, 2]), n, pad),
         )
         kern = partial(_box_kernel, n_blocks=P // PBLK,
                        t_min=float(scene.t_min), cull=cull)
@@ -746,9 +767,10 @@ def _sweep_range(scene: SceneData, ro, rd, rt, lo: int, hi: int,
         alo, ahi = _range_aabbs(scene, lo, hi, flavor)
         blo, bhi = _block_aabbs(alo, ahi, pad)
         needed = _needed_mask(ro, rd, blo, bhi, float(scene.t_min))
-        extra_in = (needed,)
-        # full-array SMEM residency (a (1, B) block fails Mosaic's
-        # last-two-dims rule); the kernel indexes rows by program_id
+        # flattened (1, T*B) SMEM residency: (T, B) pads every row's
+        # minor dim to 128 lanes and OOMs smem at production tile counts;
+        # a (1, B) per-tile window fails Mosaic's last-two-dims rule
+        extra_in = (needed.reshape(1, -1),)
         extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_t, out_i = pl.pallas_call(
         kern,
@@ -857,13 +879,18 @@ def intersect_solids_pallas(scene: SceneData, ro, rd, rt,
     best_i = best_i[:R]
     if sort:
         # un-permute both outputs with ONE packed scatter-free gather:
-        # rows go back to their pre-sort lanes via the inverse permutation
+        # rows go back to their pre-sort lanes via the inverse permutation.
+        # The packed lanes ride in INT32 domain: prim indices bitcast to
+        # float32 are denormals, and the TPU flushes denormals to zero in
+        # float gathers (hardware-bisected: t survived, best_i came back 0
+        # at R=163840 — tools/debug_cull_hw3.py).  Any float32 bit pattern
+        # is a valid int32, so gathering bitcast-t + i as int32 is exact.
         inv = jnp.zeros((R0,), jnp.int32).at[idx].set(
             jnp.arange(R0, dtype=jnp.int32))
         out = jnp.stack(
-            [best_t, jax.lax.bitcast_convert_type(best_i, jnp.float32)],
+            [jax.lax.bitcast_convert_type(best_t, jnp.int32), best_i],
             axis=1)
         out = jnp.take(out, inv, axis=0)
-        best_t = out[:, 0]
-        best_i = jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
+        best_t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
+        best_i = out[:, 1]
     return best_t, best_i
