@@ -78,35 +78,55 @@ def main() -> int:
                 lambda a, b, c, s=cs: intersect_solids_pallas(
                     s, a, b, c, interpret=True))(
                 np.asarray(ro), np.asarray(rd), np.asarray(rt)))
-        h = np.isfinite(bt_c)
-        t_eq = np.array_equal(bt_h, bt_c)
-        # index ties at EXACTLY equal t may resolve differently (Mosaic
-        # argmin vs interpret on equal lanes); count only t-backed diffs
-        i_diff = int(((bi_h != bi_c) & h & (bt_h == bt_c)).sum())
-        status = "OK" if t_eq else "FAIL"
-        if not t_eq:
+        # hardware vs interpret is NOT bit-exact (Mosaic div/sqrt/fma
+        # differ in ulps from the CPU lowering; ~half of all hit lanes
+        # differ in the last ulp).  The honest criterion: hit masks agree
+        # except grazing rays, t within fp tolerance, prim ids agree
+        # wherever t is not a near-tie.
+        h_h = np.isfinite(bt_h)
+        h_c = np.isfinite(bt_c)
+        mask_diff = int((h_h != h_c).sum())
+        both = h_h & h_c
+        rel = np.abs(bt_h[both] - bt_c[both]) / np.maximum(bt_c[both], 1e-6)
+        firm = both & (np.abs(bt_h - bt_c)
+                       > 1e-5 * np.maximum(np.abs(bt_c), 1.0))
+        i_bad = int((firm & (bi_h != bi_c)).sum())
+        # grazing hits of r=1000 ground spheres cancel catastrophically
+        # (same conditioning note as tests/test_pallas.py rtol=5e-4):
+        # p99.9 stays ~1e-4..1e-3 on those scenes, max can reach a few %
+        ok = (mask_diff <= R * 1e-3 and rel.max() < 0.1
+              and np.quantile(rel, 0.999) < 1e-3 and i_bad <= R // 50000)
+        if not ok:
             failures += 1
-        nbad = int((bt_h != bt_c).sum())
-        print(f"{name:20s} sweep {status}: hits {int(h.sum())}/{R}, "
-              f"t-mismatch {nbad}, index-only ties {i_diff}")
+        print(f"{name:20s} sweep {'OK' if ok else 'FAIL'}: "
+              f"hits {int(both.sum())}/{R}, mask-diff {mask_diff}, "
+              f"rel t max {rel.max():.2e} p99.9 "
+              f"{np.quantile(rel, 0.999):.2e}, firm prim diffs {i_bad}")
 
     if args.render:
+        # compare hardware renders against the committed CPU goldens: the
+        # lane-keyed RNG gives identical draws across engines, so the only
+        # divergence is fp reassociation between the Mosaic kernels and
+        # the XLA-CPU path (tests/goldens/, tests/test_golden.py CONFIGS)
+        import os
+
         from tpu_ray.renderer import render
 
-        for name in ("two-spheres", "cornell"):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tests.test_golden import CONFIGS, GOLDEN_DIR
+
+        for name in ("two-spheres", "cornell", "book1-final"):
+            spp, depth, w, h = CONFIGS[name]
             spec = SCENES[name]
-            scene = spec.build(seed=1024)
-            cam = spec.camera(32, 24)
-            img_h = np.asarray(render(scene, cam, 32, 24, spp=16,
-                                      max_depth=8, seed=3))
-            with jax.default_device(cpu):
-                cs = spec.build(seed=1024)
-                img_c = np.asarray(render(cs, cam, 32, 24, spp=16,
-                                          max_depth=8, seed=3))
-            err = np.abs(img_h - img_c).mean()
+            scene = spec.build(seed=1024, earth=None)
+            cam = spec.camera(w, h)
+            img_h = np.asarray(render(scene, cam, w, h, spp=spp,
+                                      max_depth=depth, seed=1024))
+            golden = np.load(os.path.join(GOLDEN_DIR, f"{name}.npy"))
+            err = np.abs(img_h - golden).mean()
             ok = err < 0.02
             print(f"{name:20s} render {'OK' if ok else 'FAIL'}: "
-                  f"mean |TPU-CPU| = {err:.5f}")
+                  f"mean |TPU-golden| = {err:.5f}")
             if not ok:
                 failures += 1
 
