@@ -95,3 +95,36 @@ def test_pool_wave_scheduling_invariance():
     img_a = render(scene, cam, 8, 8, spp=8, max_depth=4, seed=7, samples_per_wave=8)
     img_b = render(scene, cam, 8, 8, spp=8, max_depth=4, seed=7, samples_per_wave=2)
     np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_pool_compaction_ladder_invisible(monkeypatch):
+    """Straggler compaction must not change the estimate: shrink the ladder
+    thresholds so it engages at test sizes (production gates it at R >=
+    2**14) and compare against the uncompacted pool.  Draws are keyed on
+    slot_ids, which travel with the lanes, so only the accumulation
+    ASSOCIATION changes - tolerances are a few f32 ULPs."""
+    from tpu_ray import integrator
+
+    scene = SCENES["cornell"].build()
+    cam = SCENES["cornell"].camera(16, 16)
+    xs = jnp.tile(jnp.linspace(0.0, 1.0, 16, endpoint=False), 16)
+    ys = jnp.repeat(jnp.linspace(0.0, 1.0, 16, endpoint=False), 16)
+    args = (scene, cam, xs, ys, (1.0 / 16, 1.0 / 16), KEY, 4, jnp.uint32(0), 12)
+
+    base_accum, base_done = trace_pool(*args)  # R=256 < COMPACT_MIN: no ladder
+    monkeypatch.setattr(integrator, "COMPACT_MIN", 1)
+    monkeypatch.setattr(integrator, "COMPACT_FLOOR", 8)
+    monkeypatch.setattr(integrator, "COMPACT_FLOOR_TINY", 8)
+
+    # cornell is a "tiny" scene: fraction-8 ladder [32]
+    tiny_accum, tiny_done = trace_pool(*args)
+    np.testing.assert_array_equal(np.asarray(tiny_done), np.asarray(base_done))
+    np.testing.assert_allclose(np.asarray(tiny_accum), np.asarray(base_accum),
+                               rtol=3e-6, atol=2e-7)
+
+    # force the halving ladder [128, 64, 32, 16, 8] down the same pool
+    monkeypatch.setattr(integrator, "COMPACT_TINY_PRIMS", 0)
+    deep_accum, deep_done = trace_pool(*args)
+    np.testing.assert_array_equal(np.asarray(deep_done), np.asarray(base_done))
+    np.testing.assert_allclose(np.asarray(deep_accum), np.asarray(base_accum),
+                               rtol=3e-6, atol=2e-7)

@@ -32,7 +32,23 @@ from .ops.intersect import intersect_scene
 from .ops.scatter import scatter
 
 COMPACT_MIN = 1 << 14
-COMPACT_FRACTION = 8
+# Compaction-ladder shape, chosen per scene by sweep weight (measured on
+# v5e, tools/study_occupancy.py + full renders, PERFLOG.md "Straggler-tail
+# compaction ladder"):
+#  * sweep-heavy scenes (>=2 prim blocks) want a HALVING ladder - the body
+#    cost is ~linear in lanes down to ~20k and floors near 5k lanes, so
+#    tracking the survival curve closely pays for the extra argsorts
+#    (next-week 11.6 -> 9.93 s, book1 1.59 -> 1.36 s).  Levels stop at
+#    4096: measured body cost RISES again below ~2.5k lanes (grid padding).
+#  * tiny scenes (1 prim block) keep the shallow round-2 ladder - their
+#    per-iteration body costs about as much as the argsort itself, so every
+#    extra level is pure overhead (cornell 3.9 -> 4.25 s, two-spheres
+#    0.478 -> 0.613 s under the halving ladder).
+COMPACT_FRACTION = 2
+COMPACT_FLOOR = 4096
+COMPACT_FRACTION_TINY = 8
+COMPACT_FLOOR_TINY = 1024
+COMPACT_TINY_PRIMS = 128  # one Pallas sweep block
 
 # Fused Pallas shading (ops/shade_pallas.py): record + texture + scatter in
 # one kernel.  "auto" enables it on TPU for supported scenes (draws are
@@ -328,14 +344,18 @@ def trace_pool(
             cond = lambda q: jnp.any(q.active) & (q.iteration < iter_cap)
         return jax.lax.while_loop(cond, body_fn, st)
 
-    # straggler compaction: once active occupancy falls below 1/8 (slots
-    # exhausted their samples while a few deep paths remain), gather the
-    # survivors into a pool 1/8 the size and continue; repeat once more at
-    # 1/64 so the deepest paths don't drag a large pool along.
+    # straggler compaction: each time active occupancy falls below the next
+    # ladder level (slots exhausted their samples while deeper paths
+    # remain), gather the survivors into a pool of that size and continue.
+    # Ladder shape per scene weight - see the COMPACT_* note above.
+    if scene.n_prims > COMPACT_TINY_PRIMS:
+        frac, floor = COMPACT_FRACTION, COMPACT_FLOOR
+    else:
+        frac, floor = COMPACT_FRACTION_TINY, COMPACT_FLOOR_TINY
     levels = []
     m = R
-    while R >= COMPACT_MIN and m // COMPACT_FRACTION >= 1024:
-        m = m // COMPACT_FRACTION
+    while R >= COMPACT_MIN and m // frac >= floor:
+        m = m // frac
         levels.append(m)
 
     if not levels:
