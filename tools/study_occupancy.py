@@ -32,6 +32,10 @@ def main():
     p.add_argument("--s-wave", type=int, nargs="+", default=[1, 2, 5])
     p.add_argument("--max-depth", type=int, default=50)
     p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--print-counts", action="store_true",
+                   help="dump the per-iteration active-lane counts")
+    p.add_argument("--skip-timing", action="store_true",
+                   help="counts only; skip the body/compact timing sweep")
     args = p.parse_args()
 
     from tpu_ray.utils.cache import enable_compilation_cache
@@ -120,6 +124,8 @@ def main():
     for sw in args.s_wave:
         counts = run_wave(sw, 0)
         all_counts[sw] = counts
+        if args.print_counts:
+            print(f"counts s_wave={sw}: {counts.tolist()}")
         # legacy cost model for cross-s_wave comparison: full R per
         # iteration until active <= R/8, then R/8 until <= R/64, then R/64
         # (the ROUND-2 ladder; compaction sort cost excluded)
@@ -136,6 +142,9 @@ def main():
         print(f"{sw:>6} {len(counts):>6} {segs/1e6:>9.2f} "
               f"{100.0*segs/(len(counts)*R):>6.1f} {cost/1e6:>16.2f} "
               f"{cost*n_waves/1e6:>15.1f}")
+
+    if args.skip_timing:
+        return 0
 
     # ---- measured ladder evaluation (ms, not lane-iterations) -----------
     # Time the real chained body at each candidate pool size, and the real

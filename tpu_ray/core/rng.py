@@ -28,6 +28,7 @@ __all__ = [
     "hash_uniforms",
     "hash_uniforms2",
     "lane_uniforms",
+    "path_ids",
 ]
 
 TWO_PI = 2.0 * jnp.pi
@@ -94,6 +95,25 @@ def lane_uniforms(key, lane_ids: jnp.ndarray, n: int) -> jnp.ndarray:
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
     base = _murmur3_fmix(lane_ids.astype(jnp.uint32) + kd[0]) ^ kd[1]
     return hash_uniforms(base, n)
+
+
+def path_ids(work: jnp.ndarray, bounce: jnp.ndarray) -> jnp.ndarray:
+    """Synthetic per-lane draw ids for the work-queue integrator: a
+    schedule-independent mix of (work item, bounce).
+
+    Passed as ``lane_ids`` to :func:`lane_uniforms` (and as ``slot_ids`` to
+    the fused shading kernel) with a key that is CONSTANT across pool
+    iterations, this keys every path-space draw by (render key, purpose,
+    work item, bounce) - the draws no longer depend on which pool
+    iteration, epoch, or lane position the path happens to occupy.  The
+    work item is globally unique per camera sample and the bounce is
+    unique along a path, so streams never collide systematically; ``work``
+    is avalanched before ``bounce`` is folded in (same construction as
+    :func:`hash_uniforms2`).
+    """
+    return _murmur3_fmix(
+        work.astype(jnp.uint32) + jnp.uint32(0x9E3779B9)
+    ) ^ (bounce.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0) -> jnp.ndarray:

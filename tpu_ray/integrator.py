@@ -389,3 +389,255 @@ def trace_pool(
         accum = accum.at[gids].add(st.accum)
         sample = sample.at[gids].set(st.sample)
     return accum, sample
+
+
+
+# ---------------------------------------------------------------------------
+# Global work-queue integrator
+# ---------------------------------------------------------------------------
+#
+# trace_pool keeps occupancy high WITHIN a slot's sample budget, but the
+# production schedule for big scenes is 1 sample per slot per wave, so every
+# wave decays along the raw path-survival curve and pays its own straggler
+# tail (next-week measured 8.8% occupancy under the round-2 ladder,
+# PERFLOG.md "Straggler-tail compaction ladder").  trace_queue removes the
+# wave structure entirely: one persistent pool of R lanes draws
+# (pixel, sample) work items off a single global frontier - the moment a
+# path dies, its lane takes the next work item - so occupancy stays ~100%
+# until the frontier is exhausted and the render pays exactly ONE survival
+# tail at the very end.
+#
+# Scheduling is invisible to the estimate: path-space draws are keyed by
+# (render key, purpose, work item, bounce) via rng.path_ids - NOT by pool
+# iteration, wave index, or lane position - and camera draws by
+# (pixel, global sample) like trace_pool's.  Radiances are scatter-WRITTEN
+# (unique indices, no accumulation order) into a per-(sample, pixel) film
+# plane and reduced in fixed sample-major order, so the image is
+# bit-identical for ANY lane count, epoch length, or sample chunking.  The
+# bounce-draw streams differ from trace_pool's (which fold the wave key and
+# pool iteration), so queue and pool renders of the same seed are
+# statistically identical but not bit-equal.
+
+from functools import partial as _partial
+
+
+class _QueueState(NamedTuple):
+    iteration: jnp.ndarray    # () int32 epoch-local iteration counter
+    frontier: jnp.ndarray     # () int32 next unissued work item
+    origin: jnp.ndarray       # (R, 3)
+    direction: jnp.ndarray    # (R, 3)
+    time: jnp.ndarray         # (R,)
+    throughput: jnp.ndarray   # (R, 3)
+    accum: jnp.ndarray        # (R, 3) radiance of the CURRENT work item
+    bounce: jnp.ndarray       # (R,) int32
+    work: jnp.ndarray         # (R,) int32 chunk-local work item id
+    active: jnp.ndarray       # (R,) bool
+    plane: jnp.ndarray        # (total, 3) per-(sample, pixel) radiance
+
+
+def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
+                chunk_s0, total, *, m, width, height, engine, fused,
+                max_depth):
+    """One queue iteration: trace + shade + flush dead + inject fresh."""
+    # draw ids use the GLOBAL work item (chunk base + chunk-local id) so
+    # sample chunking is invisible to the path-space streams
+    work_base = chunk_s0 * jnp.uint32(width * height)
+    sid = rng_mod.path_ids(st.work.astype(jnp.uint32) + work_base, st.bounce)
+    if fused:
+        from .ops.intersect import intersect_ti
+        from .ops.shade_pallas import pool_step_pallas
+
+        zeros_m = jnp.zeros((m,), jnp.float32)
+        bt, bi = intersect_ti(scene, st.origin, st.direction, st.time,
+                              k_isect, engine=engine, lane_ids=sid)
+        # n_samples=0 disables the kernel's in-slot camera regeneration;
+        # the queue injects new work itself below
+        (o2, d2, tm2, tp2, ac2, bo2, _sa, av2) = pool_step_pallas(
+            scene, camera, zeros_m, zeros_m, sid,
+            st.origin, st.direction, st.time, st.throughput,
+            st.accum, st.bounce, jnp.zeros((m,), jnp.int32),
+            st.active, bt, bi, k_scat, jnp.int32(0), jnp.uint32(0),
+            jnp.uint32(0), (1.0 / width, 1.0 / height), max_depth)
+    else:
+        isect = _make_isect(scene, None, engine)
+        rec = isect(st.origin, st.direction, st.time, k_isect, sid)
+        sc = scatter(scene, k_scat, st.direction, rec, sid)
+        miss = st.active & ~rec.hit
+        emit = st.active & rec.hit & ~sc.scattered
+        cont = st.active & rec.hit & sc.scattered
+        ac2 = st.accum + vec.where3(
+            miss, st.throughput * scene.background, jnp.zeros_like(st.accum))
+        ac2 = ac2 + vec.where3(
+            emit, st.throughput * sc.emitted, jnp.zeros_like(ac2))
+        tp2 = vec.where3(cont, st.throughput * sc.weight, st.throughput)
+        bo2 = jnp.where(cont, st.bounce + 1, st.bounce)
+        dead_now = st.active & (
+            miss | emit
+            | (cont & (bo2 >= max_depth))
+            | (cont & (jnp.max(tp2, axis=-1) <= 0.0))
+        )
+        o2 = vec.where3(cont, rec.point, st.origin)
+        d2 = vec.where3(cont, sc.direction, st.direction)
+        tm2 = st.time
+        av2 = st.active & ~dead_now
+
+    # ---- flush: a dying lane's radiance is WRITTEN (each work item dies
+    # exactly once, so there is no accumulation order) to its plane row
+    died = st.active & ~av2
+    plane = st.plane.at[jnp.where(died, st.work, total)].set(ac2, mode="drop")
+
+    # ---- inject: free lanes take the next work items off the frontier
+    free = ~av2
+    ranks = jnp.cumsum(free.astype(jnp.int32)) - 1
+    w_new = st.frontier + jnp.where(free, ranks, 0)
+    valid = free & (w_new < total)
+    pix = jnp.where(valid, w_new % (width * height), 0)
+    gsample = chunk_s0 + jnp.where(valid, w_new // (width * height),
+                                   0).astype(jnp.uint32)
+    # camera stream: (pixel, global sample) counter hash, trace_pool.regen's
+    # construction with the pixel id as the slot word
+    u5 = rng_mod.hash_uniforms2(pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
+    sx = ((pix % width).astype(jnp.float32) + u5[:, 0]) * (1.0 / width)
+    sy = ((height - 1 - pix // width).astype(jnp.float32)
+          + u5[:, 1]) * (1.0 / height)
+    ro, rd, rt = camera.rays_from_uniforms(sx, sy, u5[:, 2:5])
+    return _QueueState(
+        iteration=st.iteration + 1,
+        frontier=jnp.minimum(
+            st.frontier + jnp.sum(free.astype(jnp.int32)), total),
+        origin=vec.where3(valid, ro, o2),
+        direction=vec.where3(valid, rd, d2),
+        time=jnp.where(valid, rt, tm2),
+        throughput=vec.where3(valid, jnp.ones_like(tp2), tp2),
+        accum=vec.where3(valid, jnp.zeros_like(ac2), ac2),
+        bounce=jnp.where(valid, 0, bo2),
+        work=jnp.where(valid, w_new, st.work),
+        active=av2 | valid,
+        plane=plane,
+    )
+
+
+@_partial(jax.jit,
+          static_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
+          donate_argnums=0)
+def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
+                 chunk_s0, total, m, iters, threshold, width, height,
+                 engine, fused, max_depth):
+    """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
+    once the frontier is spent and at most ``threshold`` lanes remain
+    active.  Module-level jit (scene/camera as arguments) so every chunk
+    and every render of the same shapes reuses one executable; epochs
+    bound the device time per dispatch (the remote worker crashes under
+    multi-second sustained executions - renderer.plan_pool note)."""
+
+    def cond(q: _QueueState):
+        if threshold > 0:
+            more = (q.frontier < total) | (
+                jnp.sum(q.active.astype(jnp.int32)) > threshold)
+        else:
+            more = (q.frontier < total) | jnp.any(q.active)
+        return (q.iteration < iters) & more
+
+    return jax.lax.while_loop(
+        cond,
+        lambda q: _queue_body(q, scene, camera, k_isect, k_scat, cam_salt,
+                              chunk_s0, total, m=m, width=width,
+                              height=height, engine=engine, fused=fused,
+                              max_depth=max_depth),
+        st._replace(iteration=jnp.int32(0)))
+
+
+def trace_queue(
+    scene: SceneData,
+    camera,
+    width: int,
+    height: int,
+    chunk_spp: int,            # samples in this chunk (static: sizes the plane)
+    chunk_s0,                  # first global sample index of the chunk
+    key,
+    max_depth: int,
+    R: int,                    # pool lanes
+    engine: str = "xla",
+    shade: Optional[str] = None,
+    cam_salt=jnp.uint32(0),
+    epoch_iters: int = 64,
+    drain_levels=(),           # pool sizes for the final-drain compaction
+    progress_cb=None,          # optional fn(frontier, total) per epoch
+):
+    """Render ``width*height*chunk_spp`` camera samples with a work-queue
+    pool; returns the (H*W, 3) radiance SUM over the chunk's samples.
+
+    Work item w (chunk-local) maps to pixel ``w % (W*H)`` (row-major, image
+    row 0 at the top, matching renderer._pixel_grid) and global sample
+    index ``chunk_s0 + w // (W*H)``.  The caller picks ``R`` (device lane
+    cap), ``epoch_iters`` (watchdog bound) and the drain ladder.
+    """
+    P = width * height
+    chunk_spp = int(chunk_spp)
+    total_i = P * chunk_spp
+    if max_depth <= 0:
+        # depth 0 -> every sample is black (src/Lib.hs:1303-1304)
+        return jnp.zeros((P, 3), jnp.float32)
+    fused = (_use_fused_shading(scene, None, engine) if shade is None
+             else shade == "fused")
+    # purpose keys, CONSTANT across iterations: per-draw variation comes
+    # entirely from rng.path_ids(work, bounce)
+    k_isect = jax.random.fold_in(key, 0)
+    k_scat = jax.random.fold_in(key, 1)
+    cam_salt = jnp.asarray(cam_salt, jnp.uint32)
+    chunk_s0 = jnp.asarray(chunk_s0, jnp.uint32)
+    total = jnp.int32(total_i)
+
+    st = _QueueState(
+        iteration=jnp.int32(0),
+        frontier=jnp.int32(0),
+        origin=jnp.zeros((R, 3), jnp.float32),
+        direction=jnp.ones((R, 3), jnp.float32),
+        time=jnp.zeros((R,), jnp.float32),
+        throughput=jnp.ones((R, 3), jnp.float32),
+        accum=jnp.zeros((R, 3), jnp.float32),
+        bounce=jnp.zeros((R,), jnp.int32),
+        work=jnp.full((R,), total_i, jnp.int32),  # sentinel: no work yet
+        active=jnp.zeros((R,), bool),
+        plane=jnp.zeros((total_i, 3), jnp.float32),
+    )
+
+    # host loop cap: every epoch either advances the frontier or retires
+    # active paths (each bounded by max_depth iterations), so this never
+    # binds unless something is wrong - fail loudly instead of spinning
+    max_epochs = 20 + (total_i // max(R, 1) + chunk_spp * max_depth
+                       + 2 * max_depth) // max(epoch_iters, 1) * 4
+
+    def run(st, m, threshold):
+        for _ in range(max_epochs):
+            st = _queue_epoch(st, scene, camera, k_isect, k_scat, cam_salt,
+                              chunk_s0, total, m, epoch_iters, threshold,
+                              width, height, engine, fused, max_depth)
+            frontier = int(st.frontier)
+            n_active = int(jnp.sum(st.active))
+            if progress_cb is not None:
+                progress_cb(frontier, total_i)
+            if frontier >= total_i and n_active <= threshold:
+                return st
+        raise RuntimeError("trace_queue: epoch cap exceeded "
+                           f"(frontier {frontier}/{total_i}, "
+                           f"{n_active} active)")
+
+    st = run(st, R, drain_levels[0] if drain_levels else 0)
+
+    # final drain: ONE survival tail for the whole chunk, compacted down
+    # the ladder (randomness travels with work/bounce, so compaction stays
+    # invisible; plane writes are absolute)
+    for li, m in enumerate(drain_levels):
+        order = jnp.argsort(~st.active, stable=True)[:m]
+        take = lambda a: a[order]
+        st = _QueueState(
+            iteration=jnp.int32(0), frontier=st.frontier,
+            origin=take(st.origin), direction=take(st.direction),
+            time=take(st.time), throughput=take(st.throughput),
+            accum=take(st.accum), bounce=take(st.bounce),
+            work=take(st.work), active=take(st.active), plane=st.plane)
+        nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
+        st = run(st, m, nxt)
+
+    return st.plane.reshape(chunk_spp, P, 3).sum(axis=0)

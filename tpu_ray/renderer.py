@@ -140,6 +140,47 @@ def plan_pool(scene, width: int, height: int, spp: int,
     return k_pool, s_wave, s_total // s_wave
 
 
+# film-plane budget for queue mode: per-(sample, pixel) radiance rows are
+# 12 bytes; chunks of samples are sized so the plane stays under this
+# (v5e has 16 GB HBM; scene + pool state are tiny next to it)
+QUEUE_PLANE_BYTES = 3_500_000_000
+
+
+def plan_queue(scene, width: int, height: int, spp: int,
+               rays_per_wave: int = 1 << 20, engine: str = "xla"):
+    """Queue-mode schedule: (R lanes, chunk_spp, epoch_iters, drain_levels).
+
+    Same device-driven lane caps as plan_pool; the epoch length targets
+    ~1.5 s of device time per dispatch (remote-worker watchdog), estimated
+    from the measured per-lane-prim sweep cost; the drain ladder reuses the
+    pool's per-scene compaction shape (integrator.COMPACT_* notes).
+    """
+    from . import integrator as integ
+
+    engine = resolve_engine(scene, engine)
+    cap = rays_per_wave
+    if engine in ("xla", "mxu") and scene.n_prims > 512:
+        cap = min(cap, XLA_BIG_SCENE_LANES)
+    if engine == "pallas" and scene.n_prims > 512:
+        cap = min(cap, pallas_lane_cap(scene.n_prims))
+    P = width * height
+    R = max(1024, min(cap, P * spp))
+    chunk_cap = max(1, QUEUE_PLANE_BYTES // (P * 12))
+    chunk_spp = _largest_divisor_leq(spp, chunk_cap)
+    iter_cost = R * max(scene.n_prims, 1) * 3.6e-11 + 1.5e-3
+    epoch_iters = max(8, min(256, int(1.5 / iter_cost)))
+    if scene.n_prims > integ.COMPACT_TINY_PRIMS:
+        frac, floor = integ.COMPACT_FRACTION, integ.COMPACT_FLOOR
+    else:
+        frac, floor = integ.COMPACT_FRACTION_TINY, integ.COMPACT_FLOOR_TINY
+    levels = []
+    m = R
+    while R >= integ.COMPACT_MIN and m // frac >= floor:
+        m = m // frac
+        levels.append(m)
+    return R, chunk_spp, epoch_iters, tuple(levels)
+
+
 def clear_auto_checkpoints() -> None:
     """Delete auto checkpoints (bench uses this so every timed attempt
     measures a FULL render instead of resuming a crashed one)."""
@@ -277,6 +318,96 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
     return wave
 
 
+def _render_queue(scene, camera, width, height, spp, max_depth, seed,
+                  rays_per_wave, engine, progress, checkpoint_path,
+                  checkpoint_every):
+    """Work-queue render driver (integrator.trace_queue): sample chunks
+    sized by the film-plane budget, per-chunk checkpointing, epoch-level
+    progress.  Returns the (H, W, 3) mean image."""
+    from .integrator import _use_fused_shading, trace_queue
+
+    P = width * height
+    R, chunk_spp, epoch_iters, drain_levels = plan_queue(
+        scene, width, height, spp, rays_per_wave, engine)
+    n_chunks = spp // chunk_spp
+    shade = "fused" if _use_fused_shading(scene, None, engine) else "xla"
+    base_key = jax.random.PRNGKey(seed)
+    # ONE key for every chunk: draws are keyed by (key, purpose, work item,
+    # bounce) and work items are globally indexed, so chunks share streams
+    # without collision (trace_queue module note)
+    k_queue = jax.random.fold_in(base_key, 0x5EED)
+
+    film = jnp.zeros((P, 3), jnp.float32)
+    start_chunk = 0
+
+    auto_ckpt = (checkpoint_path is None and checkpoint_every == 0
+                 and n_chunks >= 2)
+    config_tag = None
+    if checkpoint_path or auto_ckpt:
+        config_tag = (f"v{SEMANTICS_VERSION}.s{int(scene.strict)}"
+                      f"|{_scene_fingerprint(scene, camera)}|{scene.n_prims}"
+                      f"|{width}x{height}|{spp}|{max_depth}|{seed}"
+                      f"|queue|{engine}|{chunk_spp}|{n_chunks}")
+    if auto_ckpt:
+        import hashlib
+
+        d = os.path.join(os.path.expanduser("~"), ".cache", "tpu_ray",
+                         "checkpoints")
+        os.makedirs(d, exist_ok=True)
+        tag12 = hashlib.sha1(config_tag.encode()).hexdigest()[:12]
+        checkpoint_path = os.path.join(d, f"auto-{tag12}.npz")
+        checkpoint_every = 1
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"
+    if checkpoint_path:
+        try:
+            ck = np.load(checkpoint_path)
+            if str(ck["config"]) == config_tag:
+                film = jnp.asarray(ck["accum"])
+                start_chunk = int(ck["waves_done"])
+                if progress:
+                    print(f"\nresuming at chunk {start_chunk}",
+                          file=sys.stderr)
+            else:
+                print(f"checkpoint {checkpoint_path} is for a different "
+                      "render config; starting fresh", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+        except Exception as e:
+            print(f"ignoring unreadable checkpoint {checkpoint_path}: {e}",
+                  file=sys.stderr)
+
+    total_work = P * spp
+    done_base = [start_chunk * P * chunk_spp]
+
+    def cb(frontier, total):
+        if progress:
+            pct = 100.0 * (done_base[0] + frontier) / total_work
+            print(f"\rRendering {pct:5.1f}%", end="", file=sys.stderr)
+
+    for c in range(start_chunk, n_chunks):
+        part = trace_queue(
+            scene, camera, width, height, chunk_spp,
+            jnp.uint32(c * chunk_spp), k_queue, max_depth, R,
+            engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
+            epoch_iters=epoch_iters, drain_levels=drain_levels,
+            progress_cb=cb)
+        film = film + part
+        done_base[0] += P * chunk_spp
+        if checkpoint_path and checkpoint_every and \
+                (c + 1) % checkpoint_every == 0 and c + 1 < n_chunks:
+            np.savez(checkpoint_path[:-4], accum=np.asarray(film),
+                     waves_done=c + 1, config=config_tag)
+    if progress:
+        print("", file=sys.stderr)
+    if auto_ckpt:
+        try:
+            os.remove(checkpoint_path)
+        except OSError:
+            pass
+    return np.asarray(film).reshape(height, width, 3) / spp
+
+
 def render(
     scene: SceneData,
     camera: Camera,
@@ -307,6 +438,17 @@ def render(
     """
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
+
+    if mode == "queue":
+        if mesh is not None or bvh or engine == "mega" or _rows is not None:
+            # queue v1 scope: single-device brute-force-sweep renders; the
+            # wave pool remains the path for meshes / BVH / megakernel
+            mode = "pool"
+        else:
+            return _render_queue(
+                scene, camera, width, height, spp, max_depth, seed,
+                rays_per_wave, engine, progress, checkpoint_path,
+                checkpoint_every)
 
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold
