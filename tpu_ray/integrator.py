@@ -432,13 +432,23 @@ class _QueueState(NamedTuple):
     bounce: jnp.ndarray       # (R,) int32
     work: jnp.ndarray         # (R,) int32 chunk-local work item id
     active: jnp.ndarray       # (R,) bool
-    plane: jnp.ndarray        # (total, 3) per-(sample, pixel) radiance
+    plane: tuple              # 3x (total,) planar per-(sample, pixel) radiance
+    # (planar, not (total, 3): a 1D f32 scatter measured 2.9 ms for 390k
+    # rows into 16M on v5e vs 33.4 ms for the same scatter of (390k, 3)
+    # rows - tools/bench_scatter_layout.py - so three planar scatters cut
+    # the flush ~4x, and the flush was 64% of the queue body)
 
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                 chunk_s0, total, *, m, width, height, engine, fused,
-                max_depth):
-    """One queue iteration: trace + shade + flush dead + inject fresh."""
+                max_depth, ablate=""):
+    """One queue iteration: trace + shade + flush dead + inject fresh.
+
+    ``ablate`` (static, bench-only — tools/bench_queue_phase.py) disables
+    one glue stage to isolate its hardware cost: "noflush" skips the plane
+    scatter, "nocam" injects without regenerating camera rays, "nocumsum"
+    replaces the frontier ranks with an iota, "noinject" skips injection
+    entirely.  Production passes "" everywhere."""
     # draw ids use the GLOBAL work item (chunk base + chunk-local id) so
     # sample chunking is invisible to the path-space streams
     work_base = chunk_s0 * jnp.uint32(width * height)
@@ -484,23 +494,44 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
     # ---- flush: a dying lane's radiance is WRITTEN (each work item dies
     # exactly once, so there is no accumulation order) to its plane row
     died = st.active & ~av2
-    plane = st.plane.at[jnp.where(died, st.work, total)].set(ac2, mode="drop")
+    if ablate == "noflush":
+        plane = st.plane
+    else:
+        # indices are globally unique (live lanes' sentinels are distinct
+        # out-of-bounds rows, dropped), so XLA may parallelize the scatter
+        sentinel = total + jnp.arange(m, dtype=jnp.int32)
+        idx = jnp.where(died, st.work, sentinel)
+        plane = tuple(
+            pl.at[idx].set(ac2[:, c], mode="drop", unique_indices=True)
+            for c, pl in enumerate(st.plane))
+
+    if ablate == "noinject":
+        return st._replace(iteration=st.iteration + 1, origin=o2,
+                           direction=d2, time=tm2, throughput=tp2,
+                           accum=ac2, bounce=bo2, active=av2, plane=plane)
 
     # ---- inject: free lanes take the next work items off the frontier
     free = ~av2
-    ranks = jnp.cumsum(free.astype(jnp.int32)) - 1
+    if ablate == "nocumsum":
+        ranks = jnp.arange(m, dtype=jnp.int32)
+    else:
+        ranks = jnp.cumsum(free.astype(jnp.int32)) - 1
     w_new = st.frontier + jnp.where(free, ranks, 0)
     valid = free & (w_new < total)
     pix = jnp.where(valid, w_new % (width * height), 0)
     gsample = chunk_s0 + jnp.where(valid, w_new // (width * height),
                                    0).astype(jnp.uint32)
-    # camera stream: (pixel, global sample) counter hash, trace_pool.regen's
-    # construction with the pixel id as the slot word
-    u5 = rng_mod.hash_uniforms2(pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
-    sx = ((pix % width).astype(jnp.float32) + u5[:, 0]) * (1.0 / width)
-    sy = ((height - 1 - pix // width).astype(jnp.float32)
-          + u5[:, 1]) * (1.0 / height)
-    ro, rd, rt = camera.rays_from_uniforms(sx, sy, u5[:, 2:5])
+    if ablate == "nocam":
+        ro, rd, rt = o2, d2, tm2
+    else:
+        # camera stream: (pixel, global sample) counter hash,
+        # trace_pool.regen's construction with the pixel id as the slot word
+        u5 = rng_mod.hash_uniforms2(
+            pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
+        sx = ((pix % width).astype(jnp.float32) + u5[:, 0]) * (1.0 / width)
+        sy = ((height - 1 - pix // width).astype(jnp.float32)
+              + u5[:, 1]) * (1.0 / height)
+        ro, rd, rt = camera.rays_from_uniforms(sx, sy, u5[:, 2:5])
     return _QueueState(
         iteration=st.iteration + 1,
         frontier=jnp.minimum(
@@ -518,11 +549,11 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
 
 
 @_partial(jax.jit,
-          static_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
+          static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16),
           donate_argnums=0)
 def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                  chunk_s0, total, m, iters, threshold, width, height,
-                 engine, fused, max_depth):
+                 engine, fused, max_depth, ablate=""):
     """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
     once the frontier is spent and at most ``threshold`` lanes remain
     active.  Module-level jit (scene/camera as arguments) so every chunk
@@ -543,7 +574,7 @@ def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         lambda q: _queue_body(q, scene, camera, k_isect, k_scat, cam_salt,
                               chunk_s0, total, m=m, width=width,
                               height=height, engine=engine, fused=fused,
-                              max_depth=max_depth),
+                              max_depth=max_depth, ablate=ablate),
         st._replace(iteration=jnp.int32(0)))
 
 
@@ -599,7 +630,7 @@ def trace_queue(
         bounce=jnp.zeros((R,), jnp.int32),
         work=jnp.full((R,), total_i, jnp.int32),  # sentinel: no work yet
         active=jnp.zeros((R,), bool),
-        plane=jnp.zeros((total_i, 3), jnp.float32),
+        plane=tuple(jnp.zeros((total_i,), jnp.float32) for _ in range(3)),
     )
 
     # host loop cap: every epoch either advances the frontier or retires
@@ -640,4 +671,7 @@ def trace_queue(
         nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
         st = run(st, m, nxt)
 
-    return st.plane.reshape(chunk_spp, P, 3).sum(axis=0)
+    # per-channel sample-major reduction: identical f32 association per
+    # (pixel, channel) to the former (spp, P, 3).sum(axis=0)
+    return jnp.stack(
+        [pl.reshape(chunk_spp, P).sum(axis=0) for pl in st.plane], axis=-1)
