@@ -57,16 +57,27 @@ def run(config: str, rays_per_wave: int, out: str | None,
         engine=engine, bvh=bvh,
     )
     # warmup: compile with the exact wave shapes of the timed run
-    from tpu_ray.renderer import plan_pool, resolve_engine
+    from tpu_ray.renderer import plan_pool, resolve_engine, resolve_mode
 
-    k_pool, _, _ = plan_pool(scene, cfg["width"], cfg["height"], cfg["spp"],
-                             rays_per_wave, engine=resolve_engine(scene, engine))
+    mode = resolve_mode(scene, "auto", bvh=bvh, engine=engine)
     t0 = time.perf_counter()
-    # one sample per slot: the per-wave sample count is traced, so this
-    # compiles the exact executable the timed run reuses
-    render(scene, camera, cfg["width"], cfg["height"], spp=k_pool, **kwargs)
-    print(f"[bench] warmup ({k_pool} spp, incl. compile): "
-          f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    if mode == "queue":
+        # queue executables are keyed by the film-plane shape (P*chunk_spp)
+        # and the drain ladder, so the only warmup that compiles the timed
+        # run's shapes is a full-config render
+        render(scene, camera, cfg["width"], cfg["height"], spp=cfg["spp"],
+               **kwargs)
+        print(f"[bench] warmup (full {cfg['spp']} spp queue render, incl. "
+              f"compile): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    else:
+        k_pool, _, _ = plan_pool(
+            scene, cfg["width"], cfg["height"], cfg["spp"], rays_per_wave,
+            engine=resolve_engine(scene, engine))
+        # one sample per slot: the per-wave sample count is traced, so this
+        # compiles the exact executable the timed run reuses
+        render(scene, camera, cfg["width"], cfg["height"], spp=k_pool, **kwargs)
+        print(f"[bench] warmup ({k_pool} spp, incl. compile): "
+              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     from tpu_ray.renderer import clear_auto_checkpoints
 

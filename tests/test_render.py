@@ -221,6 +221,23 @@ def test_resolve_engine():
     assert resolve_engine(big, "xla") == "xla"
 
 
+def test_resolve_mode_auto():
+    from tpu_ray.renderer import resolve_mode
+
+    small = SCENES["cornell"].build()
+    big = SCENES["next-week-final"].build(seed=1, earth=None)
+    # measured crossover (tools/bench_mode.py): queue wins only where the
+    # per-iteration sweep dominates the flush/inject glue
+    assert resolve_mode(small, "auto") == "pool"
+    assert resolve_mode(big, "auto") == "queue"
+    # queue v1 scope: single-device, brute-force sweep, full frames
+    assert resolve_mode(big, "auto", mesh=object()) == "pool"
+    assert resolve_mode(big, "auto", bvh=True) == "pool"
+    assert resolve_mode(big, "auto", _rows=4) == "pool"
+    assert resolve_mode(big, "pool") == "pool"
+    assert resolve_mode(small, "queue") == "queue"
+
+
 def test_poisson_disk_blue_noise():
     from tpu_ray.utils.poisson import poisson_disk
 
@@ -333,8 +350,10 @@ def test_band_tiling_composes_with_mesh(monkeypatch):
     from tpu_ray.parallel.mesh import make_mesh
 
     scene, cam = _band_test_scene()
+    # mode pinned: the mesh path renders via the wave pool (queue v1 is
+    # single-device), so the single-device comparison must be pool too
     kw = dict(spp=4, max_depth=3, seed=2, rays_per_wave=16 * 12,
-              samples_per_wave=1)  # k_pool=1, 4 waves to spread over devices
+              samples_per_wave=1, mode="pool")  # k_pool=1, 4 waves
     img_plain = render(scene, cam, 16, 12, **kw)
     monkeypatch.setattr(R, "XLA_BIG_SCENE_LANES", 64)
     img_banded_mesh = render(scene, cam, 16, 12, mesh=make_mesh(8), **kw)

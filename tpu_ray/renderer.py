@@ -90,6 +90,25 @@ def resolve_engine(scene, engine: str = "auto") -> str:
     return "pallas" if scene.n_prims > 512 else "xla"
 
 
+def resolve_mode(scene, mode: str = "auto", mesh=None, bvh=False,
+                 engine: str = "auto", _rows=None) -> str:
+    """'auto' -> the work-queue integrator for big-prim single-device
+    renders, the wave pool otherwise.  The queue holds ~100% occupancy but
+    pays ~19 ms/iter of flush + inject glue, so it wins exactly where the
+    per-iteration sweep dominates (measured, tools/bench_mode.py:
+    next-week 7.4 s queue vs 9.5 s pool; book1 3.4 vs 1.4 AGAINST;
+    two-spheres 1.9 vs 0.36 AGAINST).  Queue v1 scope is single-device
+    brute-force-sweep renders; meshes / BVH / megakernel / band slices
+    stay on the pool."""
+    if mode == "auto":
+        mode = "queue" if scene.n_prims > QUEUE_MIN_PRIMS else "pool"
+    if mode == "queue" and (mesh is not None or bvh
+                            or resolve_engine(scene, engine) == "mega"
+                            or _rows is not None):
+        mode = "pool"
+    return mode
+
+
 def plan_pool(scene, width: int, height: int, spp: int,
               rays_per_wave: int = 1 << 20, samples_per_wave: int = 64,
               engine: str = "xla"):
@@ -144,6 +163,12 @@ def plan_pool(scene, width: int, height: int, spp: int,
 # 12 bytes; chunks of samples are sized so the plane stays under this
 # (v5e has 16 GB HBM; scene + pool state are tiny next to it)
 QUEUE_PLANE_BYTES = 3_500_000_000
+
+# mode="auto" picks the work-queue integrator above this primitive count
+# (see render(); measured crossover is between book1's 485 and
+# next-week's 1409 solid prims - the same >512 threshold that triggers
+# the big-scene lane caps)
+QUEUE_MIN_PRIMS = 512
 
 
 def plan_queue(scene, width: int, height: int, spp: int,
@@ -418,7 +443,7 @@ def render(
     seed: int = 1024,
     rays_per_wave: int = 1 << 20,
     samples_per_wave: int = 64,
-    mode: str = "pool",
+    mode: str = "auto",
     bvh=False,
     engine: str = "auto",
     mesh=None,
@@ -438,17 +463,14 @@ def render(
     """
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
+    mode = resolve_mode(scene, mode, mesh=mesh, bvh=bvh, engine=engine,
+                        _rows=_rows)
 
     if mode == "queue":
-        if mesh is not None or bvh or engine == "mega" or _rows is not None:
-            # queue v1 scope: single-device brute-force-sweep renders; the
-            # wave pool remains the path for meshes / BVH / megakernel
-            mode = "pool"
-        else:
-            return _render_queue(
-                scene, camera, width, height, spp, max_depth, seed,
-                rays_per_wave, engine, progress, checkpoint_path,
-                checkpoint_every)
+        return _render_queue(
+            scene, camera, width, height, spp, max_depth, seed,
+            rays_per_wave, engine, progress, checkpoint_path,
+            checkpoint_every)
 
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold

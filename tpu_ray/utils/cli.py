@@ -47,8 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas shading kernel (record+texture+scatter "
                         "in one launch, ops/shade_pallas.py); auto = on for "
                         "supported scenes on TPU")
-    p.add_argument("--mode", default="pool", choices=("pool", "wave"),
-                   help="integrator: regenerating ray pool (fast) or plain wavefront")
+    p.add_argument("--mode", default="auto",
+                   choices=("auto", "pool", "queue", "wave"),
+                   help="integrator: regenerating ray pool, work-queue "
+                        "frontier, or plain wavefront; auto picks queue for "
+                        ">512-prim single-device renders (measured crossover, "
+                        "renderer.QUEUE_MIN_PRIMS) and pool otherwise")
     p.add_argument("--estimator", default="fixed", choices=("fixed", "reference"),
                    help="'reference' reproduces the reference's exact estimator "
                         "quirks (Unhittable light mixture for no-light scenes, "
