@@ -103,6 +103,25 @@ def test_queue_fused_matches_xla():
                                          drain=(32,)))
 
 
+def test_queue_log_wrap_invisible():
+    """The v2 flush's radiance log is normally sized for the whole chunk;
+    an undersized log forces mid-chunk materialize-and-reset passes (and
+    clamps the epoch length), which must be bit-invisible."""
+    sc = SCENES["cornell"].build()
+    cm = SCENES["cornell"].camera(12, 12)
+
+    def run(log_rows, R=144, iters=64, drain=()):
+        return np.asarray(trace_queue(
+            sc, cm, 12, 12, 8, 0, KEY, 12, R=R, engine="xla", shade="xla",
+            cam_salt=jnp.uint32(3), epoch_iters=iters, drain_levels=drain,
+            log_rows=log_rows))
+
+    base = run(0)                                  # auto: no wraps
+    np.testing.assert_array_equal(base, run(144))  # wrap ~every iteration
+    np.testing.assert_array_equal(base, run(500, R=300, iters=17))
+    np.testing.assert_array_equal(base, run(700, R=512, iters=3, drain=(64,)))
+
+
 def test_queue_matches_pool_statistically():
     """Queue and pool draw different (both valid) streams; the estimates
     agree in expectation."""

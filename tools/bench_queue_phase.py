@@ -87,6 +87,11 @@ def main():
             work=jnp.arange(R, dtype=jnp.int32),
             active=jnp.ones((R,), bool),
             plane=tuple(jnp.zeros((rows,), jnp.float32) for _ in range(3)),
+            # log sized like the plane: DUS cost is row-count-bound, not
+            # capacity-bound, so clamped appends past `rows` time the same
+            log=tuple(jnp.zeros((rows,), jnp.float32) for _ in range(3)),
+            posmap=jnp.full((rows,), -1, jnp.int32),
+            cursor=jnp.int32(0),
         )
 
     def run(ablate):

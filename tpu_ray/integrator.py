@@ -437,6 +437,18 @@ class _QueueState(NamedTuple):
     # rows into 16M on v5e vs 33.4 ms for the same scatter of (390k, 3)
     # rows - tools/bench_scatter_layout.py - so three planar scatters cut
     # the flush ~4x, and the flush was 64% of the queue body)
+    log: tuple                # 3x (L,) append-only per-iteration radiance log
+    posmap: jnp.ndarray       # (total,) int32 log row holding the work
+    #                           item's death radiance; -1 = see plane
+    cursor: jnp.ndarray       # () int32 next free log row
+    # v2 flush (tools/bench_flush_v2.py): appending ALL m lanes' radiance
+    # to the log via dynamic_update_slice is FREE (contiguous tiles), and
+    # recording just the dying lanes' log rows is ONE int32 scatter
+    # (2.9 ms/iter at R=390k) instead of three f32 plane scatters
+    # (8.6 ms/iter); the plane is materialized from the log ONCE per chunk
+    # (a 16M-row gather, 231 ms/channel) instead of being written every
+    # iteration.  The log is sized for the whole chunk (trace_queue); if a
+    # chunk outlives it, the host materializes and resets between epochs.
 
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
@@ -492,23 +504,31 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         av2 = st.active & ~dead_now
 
     # ---- flush: a dying lane's radiance is WRITTEN (each work item dies
-    # exactly once, so there is no accumulation order) to its plane row
+    # exactly once, so there is no accumulation order).  v2: every lane's
+    # radiance is appended to the log (free DUS) and the posmap records the
+    # dying lanes' rows - one int32 scatter instead of three f32 ones; the
+    # plane itself is only materialized at chunk end (trace_queue).
     died = st.active & ~av2
     if ablate == "noflush":
-        plane = st.plane
+        log, posmap, cursor = st.log, st.posmap, st.cursor
     else:
+        log = tuple(
+            jax.lax.dynamic_update_slice(lg, ac2[:, c], (st.cursor,))
+            for c, lg in enumerate(st.log))
         # indices are globally unique (live lanes' sentinels are distinct
         # out-of-bounds rows, dropped), so XLA may parallelize the scatter
         sentinel = total + jnp.arange(m, dtype=jnp.int32)
         idx = jnp.where(died, st.work, sentinel)
-        plane = tuple(
-            pl.at[idx].set(ac2[:, c], mode="drop", unique_indices=True)
-            for c, pl in enumerate(st.plane))
+        posmap = st.posmap.at[idx].set(
+            st.cursor + jnp.arange(m, dtype=jnp.int32),
+            mode="drop", unique_indices=True)
+        cursor = st.cursor + jnp.int32(m)
 
     if ablate == "noinject":
         return st._replace(iteration=st.iteration + 1, origin=o2,
                            direction=d2, time=tm2, throughput=tp2,
-                           accum=ac2, bounce=bo2, active=av2, plane=plane)
+                           accum=ac2, bounce=bo2, active=av2, log=log,
+                           posmap=posmap, cursor=cursor)
 
     # ---- inject: free lanes take the next work items off the frontier
     free = ~av2
@@ -544,7 +564,10 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         bounce=jnp.where(valid, 0, bo2),
         work=jnp.where(valid, w_new, st.work),
         active=av2 | valid,
-        plane=plane,
+        plane=st.plane,
+        log=log,
+        posmap=posmap,
+        cursor=cursor,
     )
 
 
@@ -578,6 +601,32 @@ def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         st._replace(iteration=jnp.int32(0)))
 
 
+# log sizing: expected appends per chunk are total x avg-path-length rows
+# (appends are R rows/iteration and iterations ~ total*avg/R); 8 is slack
+# over the measured ~5-6, and the byte cap bounds HBM (v5e: 16 GB; the
+# log's 3 channels cost 12 B/row).  An undersized log just materializes
+# mid-chunk (one 43.5 ns/plane-row pass) - correct, only slower.
+QUEUE_LOG_AVG_PATH = 8
+QUEUE_LOG_BYTES = 2_000_000_000
+
+
+@_partial(jax.jit, donate_argnums=0)
+def _queue_materialize(st: _QueueState) -> _QueueState:
+    """Fold the log into the plane and reset the log cursor.
+
+    posmap rows are absolute radiance positions (each work item dies
+    exactly once), so materializing commutes with everything and the
+    result is bit-identical no matter when or how often it runs."""
+    L = st.log[0].shape[0]
+    safe = jnp.clip(st.posmap, 0, L - 1)
+    plane = tuple(
+        jnp.where(st.posmap >= 0, lg[safe], pl)
+        for pl, lg in zip(st.plane, st.log))
+    return st._replace(plane=plane,
+                       posmap=jnp.full_like(st.posmap, -1),
+                       cursor=jnp.int32(0))
+
+
 def trace_queue(
     scene: SceneData,
     camera,
@@ -594,6 +643,7 @@ def trace_queue(
     epoch_iters: int = 64,
     drain_levels=(),           # pool sizes for the final-drain compaction
     progress_cb=None,          # optional fn(frontier, total) per epoch
+    log_rows: int = 0,         # radiance-log rows (0 = auto-size per chunk)
 ):
     """Render ``width*height*chunk_spp`` camera samples with a work-queue
     pool; returns the (H*W, 3) radiance SUM over the chunk's samples.
@@ -619,6 +669,8 @@ def trace_queue(
     chunk_s0 = jnp.asarray(chunk_s0, jnp.uint32)
     total = jnp.int32(total_i)
 
+    L = log_rows if log_rows > 0 else max(
+        R, min(QUEUE_LOG_BYTES // 12, total_i * QUEUE_LOG_AVG_PATH))
     st = _QueueState(
         iteration=jnp.int32(0),
         frontier=jnp.int32(0),
@@ -631,18 +683,28 @@ def trace_queue(
         work=jnp.full((R,), total_i, jnp.int32),  # sentinel: no work yet
         active=jnp.zeros((R,), bool),
         plane=tuple(jnp.zeros((total_i,), jnp.float32) for _ in range(3)),
+        log=tuple(jnp.zeros((L,), jnp.float32) for _ in range(3)),
+        posmap=jnp.full((total_i,), -1, jnp.int32),
+        cursor=jnp.int32(0),
     )
 
-    # host loop cap: every epoch either advances the frontier or retires
-    # active paths (each bounded by max_depth iterations), so this never
-    # binds unless something is wrong - fail loudly instead of spinning
-    max_epochs = 20 + (total_i // max(R, 1) + chunk_spp * max_depth
-                       + 2 * max_depth) // max(epoch_iters, 1) * 4
-
     def run(st, m, threshold):
+        # epochs never outrun the log: the epoch length is clamped so a
+        # full epoch's appends fit (L >= R >= m, so iters >= 1), and the
+        # log is folded into the plane when the remaining space is short
+        iters = max(1, min(epoch_iters, L // m))
+        # host loop cap: every epoch either advances the frontier or
+        # retires active paths (each bounded by max_depth iterations), so
+        # this never binds unless something is wrong - fail loudly
+        max_epochs = 20 + (total_i // max(R, 1) + chunk_spp * max_depth
+                           + 2 * max_depth) // max(iters, 1) * 4
         for _ in range(max_epochs):
+            if int(st.cursor) + iters * m > L:
+                # bit-invisible (posmap rows are absolute); rare - the log
+                # is sized for the whole chunk
+                st = _queue_materialize(st)
             st = _queue_epoch(st, scene, camera, k_isect, k_scat, cam_salt,
-                              chunk_s0, total, m, epoch_iters, threshold,
+                              chunk_s0, total, m, iters, threshold,
                               width, height, engine, fused, max_depth)
             frontier = int(st.frontier)
             n_active = int(jnp.sum(st.active))
@@ -667,11 +729,15 @@ def trace_queue(
             origin=take(st.origin), direction=take(st.direction),
             time=take(st.time), throughput=take(st.throughput),
             accum=take(st.accum), bounce=take(st.bounce),
-            work=take(st.work), active=take(st.active), plane=st.plane)
+            work=take(st.work), active=take(st.active), plane=st.plane,
+            log=st.log, posmap=st.posmap, cursor=st.cursor)
         nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
         st = run(st, m, nxt)
 
-    # per-channel sample-major reduction: identical f32 association per
-    # (pixel, channel) to the former (spp, P, 3).sum(axis=0)
+    # fold the log into the plane (the one per-chunk materialize the v2
+    # flush design pays), then the per-channel sample-major reduction:
+    # identical f32 association per (pixel, channel) to a (spp, P, 3)
+    # .sum(axis=0)
+    st = _queue_materialize(st)
     return jnp.stack(
         [pl.reshape(chunk_spp, P).sum(axis=0) for pl in st.plane], axis=-1)
