@@ -89,7 +89,7 @@ def main():
             plane=tuple(jnp.zeros((rows,), jnp.float32) for _ in range(3)),
             # log sized like the plane: DUS cost is row-count-bound, not
             # capacity-bound, so clamped appends past `rows` time the same
-            log=tuple(jnp.zeros((rows,), jnp.float32) for _ in range(3)),
+            log=jnp.zeros((rows, 3), jnp.float32),
             posmap=jnp.full((rows,), -1, jnp.int32),
             cursor=jnp.int32(0),
         )

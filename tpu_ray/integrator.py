@@ -437,7 +437,7 @@ class _QueueState(NamedTuple):
     # rows into 16M on v5e vs 33.4 ms for the same scatter of (390k, 3)
     # rows - tools/bench_scatter_layout.py - so three planar scatters cut
     # the flush ~4x, and the flush was 64% of the queue body)
-    log: tuple                # 3x (L,) append-only per-iteration radiance log
+    log: jnp.ndarray          # (L, 3) append-only per-iteration radiance log
     posmap: jnp.ndarray       # (total,) int32 log row holding the work
     #                           item's death radiance; -1 = see plane
     cursor: jnp.ndarray       # () int32 next free log row
@@ -446,9 +446,13 @@ class _QueueState(NamedTuple):
     # recording just the dying lanes' log rows is ONE int32 scatter
     # (2.9 ms/iter at R=390k) instead of three f32 plane scatters
     # (8.6 ms/iter); the plane is materialized from the log ONCE per chunk
-    # (a 16M-row gather, 231 ms/channel) instead of being written every
-    # iteration.  The log is sized for the whole chunk (trace_queue); if a
-    # chunk outlives it, the host materializes and resets between epochs.
+    # instead of being written every iteration.  The log is PACKED (L, 3),
+    # unlike the plane: appends are contiguous DUS either way (accum is
+    # already (R, 3)), and the materialize gather pays per INDEX, not per
+    # element - one (L, 3) row-gather of 16M rows measured 264 ms on v5e
+    # vs 766 ms for three planar gathers (/tmp/bench_mat5.py, 2026-08-18).
+    # The log is sized for the whole chunk (trace_queue); if a chunk
+    # outlives it, the host materializes and resets between epochs.
 
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
@@ -512,9 +516,8 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
     if ablate == "noflush":
         log, posmap, cursor = st.log, st.posmap, st.cursor
     else:
-        log = tuple(
-            jax.lax.dynamic_update_slice(lg, ac2[:, c], (st.cursor,))
-            for c, lg in enumerate(st.log))
+        log = jax.lax.dynamic_update_slice(
+            st.log, ac2, (st.cursor, jnp.int32(0)))
         # indices are globally unique (live lanes' sentinels are distinct
         # out-of-bounds rows, dropped), so XLA may parallelize the scatter
         sentinel = total + jnp.arange(m, dtype=jnp.int32)
@@ -617,11 +620,12 @@ def _queue_materialize(st: _QueueState) -> _QueueState:
     posmap rows are absolute radiance positions (each work item dies
     exactly once), so materializing commutes with everything and the
     result is bit-identical no matter when or how often it runs."""
-    L = st.log[0].shape[0]
+    L = st.log.shape[0]
     safe = jnp.clip(st.posmap, 0, L - 1)
+    rows = st.log[safe]                     # ONE (L, 3) row-gather
     plane = tuple(
-        jnp.where(st.posmap >= 0, lg[safe], pl)
-        for pl, lg in zip(st.plane, st.log))
+        jnp.where(st.posmap >= 0, rows[:, c], pl)
+        for c, pl in enumerate(st.plane))
     return st._replace(plane=plane,
                        posmap=jnp.full_like(st.posmap, -1),
                        cursor=jnp.int32(0))
@@ -683,7 +687,7 @@ def trace_queue(
         work=jnp.full((R,), total_i, jnp.int32),  # sentinel: no work yet
         active=jnp.zeros((R,), bool),
         plane=tuple(jnp.zeros((total_i,), jnp.float32) for _ in range(3)),
-        log=tuple(jnp.zeros((L,), jnp.float32) for _ in range(3)),
+        log=jnp.zeros((L, 3), jnp.float32),
         posmap=jnp.full((total_i,), -1, jnp.int32),
         cursor=jnp.int32(0),
     )
