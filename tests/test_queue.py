@@ -105,8 +105,8 @@ def test_queue_fused_matches_xla():
 
 def test_queue_log_wrap_invisible():
     """The v2 flush's radiance log is normally sized for the whole chunk;
-    an undersized log forces mid-chunk materialize-and-reset passes (and
-    clamps the epoch length), which must be bit-invisible."""
+    an undersized log forces mid-iteration materialize-and-reset passes
+    (the device-side log-room guard), which must be bit-invisible."""
     sc = SCENES["cornell"].build()
     cm = SCENES["cornell"].camera(12, 12)
 

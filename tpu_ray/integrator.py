@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .core import rng as rng_mod
 from .core import vec
@@ -452,7 +453,8 @@ class _QueueState(NamedTuple):
     # element - one (L, 3) row-gather of 16M rows measured 264 ms on v5e
     # vs 766 ms for three planar gathers (/tmp/bench_mat5.py, 2026-08-18).
     # The log is sized for the whole chunk (trace_queue); if a chunk
-    # outlives it, the host materializes and resets between epochs.
+    # outlives it, _queue_epoch's device-side guard materializes and
+    # resets mid-chunk.
 
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
@@ -595,13 +597,20 @@ def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
             more = (q.frontier < total) | jnp.any(q.active)
         return (q.iteration < iters) & more
 
-    return jax.lax.while_loop(
-        cond,
-        lambda q: _queue_body(q, scene, camera, k_isect, k_scat, cam_salt,
-                              chunk_s0, total, m=m, width=width,
-                              height=height, engine=engine, fused=fused,
-                              max_depth=max_depth, ablate=ablate),
-        st._replace(iteration=jnp.int32(0)))
+    L = st.log.shape[0]
+
+    def body(q: _QueueState):
+        # log-room guard, ON DEVICE: fold the log into the plane when this
+        # iteration's m-row append would overflow (bit-invisible - posmap
+        # rows are absolute; rare - the log is sized for the whole chunk).
+        # Device-side wrapping keeps the host loop free of cursor reads.
+        q = jax.lax.cond(q.cursor + m > L, _materialize, lambda s: s, q)
+        return _queue_body(q, scene, camera, k_isect, k_scat, cam_salt,
+                           chunk_s0, total, m=m, width=width,
+                           height=height, engine=engine, fused=fused,
+                           max_depth=max_depth, ablate=ablate)
+
+    return jax.lax.while_loop(cond, body, st._replace(iteration=jnp.int32(0)))
 
 
 # log sizing: expected appends per chunk are total x avg-path-length rows
@@ -613,13 +622,14 @@ QUEUE_LOG_AVG_PATH = 8
 QUEUE_LOG_BYTES = 2_000_000_000
 
 
-@_partial(jax.jit, donate_argnums=0)
-def _queue_materialize(st: _QueueState) -> _QueueState:
+def _materialize(st: _QueueState) -> _QueueState:
     """Fold the log into the plane and reset the log cursor.
 
     posmap rows are absolute radiance positions (each work item dies
     exactly once), so materializing commutes with everything and the
-    result is bit-identical no matter when or how often it runs."""
+    result is bit-identical no matter when or how often it runs.  Called
+    on device by _queue_epoch's log-room guard and (jitted, below) once
+    per chunk by trace_queue."""
     L = st.log.shape[0]
     safe = jnp.clip(st.posmap, 0, L - 1)
     rows = st.log[safe]                     # ONE (L, 3) row-gather
@@ -629,6 +639,17 @@ def _queue_materialize(st: _QueueState) -> _QueueState:
     return st._replace(plane=plane,
                        posmap=jnp.full_like(st.posmap, -1),
                        cursor=jnp.int32(0))
+
+
+_queue_materialize = jax.jit(_materialize, donate_argnums=0)
+
+
+@jax.jit
+def _queue_counters(st: _QueueState):
+    """(2,) int32 [frontier, n_active]: the host loop's whole view of an
+    epoch, fetched in ONE ~12-byte transfer (a bare jnp.sum sync round
+    trip measured 32 ms through the remote-worker tunnel)."""
+    return jnp.stack([st.frontier, jnp.sum(st.active, dtype=jnp.int32)])
 
 
 def trace_queue(
@@ -673,7 +694,9 @@ def trace_queue(
     chunk_s0 = jnp.asarray(chunk_s0, jnp.uint32)
     total = jnp.int32(total_i)
 
-    L = log_rows if log_rows > 0 else max(
+    # L >= R keeps the device-side log-room guard sound: after a wrap the
+    # next m-row append (m <= R) always fits
+    L = max(log_rows, R) if log_rows > 0 else max(
         R, min(QUEUE_LOG_BYTES // 12, total_i * QUEUE_LOG_AVG_PATH))
     st = _QueueState(
         iteration=jnp.int32(0),
@@ -693,29 +716,34 @@ def trace_queue(
     )
 
     def run(st, m, threshold):
-        # epochs never outrun the log: the epoch length is clamped so a
-        # full epoch's appends fit (L >= R >= m, so iters >= 1), and the
-        # log is folded into the plane when the remaining space is short
-        iters = max(1, min(epoch_iters, L // m))
         # host loop cap: every epoch either advances the frontier or
         # retires active paths (each bounded by max_depth iterations), so
         # this never binds unless something is wrong - fail loudly
-        max_epochs = 20 + (total_i // max(R, 1) + chunk_spp * max_depth
-                           + 2 * max_depth) // max(iters, 1) * 4
+        max_epochs = 21 + (total_i // max(R, 1) + chunk_spp * max_depth
+                           + 2 * max_depth) // max(epoch_iters, 1) * 4
+        # LAGGED pipeline: epoch k+1 is dispatched before epoch k's
+        # counters are read, so the ~32 ms tunnel round trip per read
+        # overlaps epoch k+1's execution and the device queue never
+        # drains.  Over-dispatch is free: _queue_epoch's while-cond sees
+        # the satisfied exit condition and runs ZERO iterations, returning
+        # the state bit-unchanged.  Log wrapping is handled on device
+        # (_queue_epoch's log-room guard), so nothing else needs the host.
+        pending = None
         for _ in range(max_epochs):
-            if int(st.cursor) + iters * m > L:
-                # bit-invisible (posmap rows are absolute); rare - the log
-                # is sized for the whole chunk
-                st = _queue_materialize(st)
             st = _queue_epoch(st, scene, camera, k_isect, k_scat, cam_salt,
-                              chunk_s0, total, m, iters, threshold,
+                              chunk_s0, total, m, epoch_iters, threshold,
                               width, height, engine, fused, max_depth)
-            frontier = int(st.frontier)
-            n_active = int(jnp.sum(st.active))
-            if progress_cb is not None:
-                progress_cb(frontier, total_i)
-            if frontier >= total_i and n_active <= threshold:
-                return st
+            cur = _queue_counters(st)
+            if pending is not None:
+                frontier, n_active = (int(v) for v in np.asarray(pending))
+                if progress_cb is not None:
+                    progress_cb(frontier, total_i)
+                if frontier >= total_i and n_active <= threshold:
+                    return st
+            pending = cur
+        frontier, n_active = (int(v) for v in np.asarray(pending))
+        if frontier >= total_i and n_active <= threshold:
+            return st
         raise RuntimeError("trace_queue: epoch cap exceeded "
                            f"(frontier {frontier}/{total_i}, "
                            f"{n_active} active)")
