@@ -194,15 +194,20 @@ def plan_queue(scene, width: int, height: int, spp: int,
     chunk_spp = _largest_divisor_leq(spp, chunk_cap)
     iter_cost = R * max(scene.n_prims, 1) * 3.6e-11 + 1.5e-3
     epoch_iters = max(8, min(256, int(1.5 / iter_cost)))
-    if scene.n_prims > integ.COMPACT_TINY_PRIMS:
-        frac, floor = integ.COMPACT_FRACTION, integ.COMPACT_FLOOR
-    else:
-        frac, floor = integ.COMPACT_FRACTION_TINY, integ.COMPACT_FLOOR_TINY
+    # queue drain ladder: R/2 then quarter steps (R/8, R/32, ...).  The
+    # queue's epochs self-terminate on device, so each EXTRA level costs a
+    # fixed ~80 ms floor (dispatch + argsort + one exposed counter RTT);
+    # measured on next-week-final (PERFLOG.md "Queue drain ladder"):
+    # halving 6-level 6.02 s, quarter-step 3-level 5.72 s, no ladder
+    # 6.00 s - all bit-identical.
     levels = []
     m = R
-    while R >= integ.COMPACT_MIN and m // frac >= floor:
-        m = m // frac
+    if R >= integ.COMPACT_MIN and m // 2 >= integ.COMPACT_FLOOR:
+        m //= 2
         levels.append(m)
+        while m // 4 >= integ.COMPACT_FLOOR:
+            m //= 4
+            levels.append(m)
     return R, chunk_spp, epoch_iters, tuple(levels)
 
 
