@@ -122,6 +122,53 @@ def test_queue_log_wrap_invisible():
     np.testing.assert_array_equal(base, run(700, R=512, iters=3, drain=(64,)))
 
 
+def test_queue_overdispatch_is_identity():
+    """The pipelined host loop reads epoch counters LAGGED by one epoch,
+    so it always dispatches one epoch past the satisfied exit condition;
+    that is only sound because _queue_epoch's while-cond self-terminates,
+    returning the state bit-unchanged.  Pin that invariant directly."""
+    from tpu_ray import integrator as integ
+
+    sc = SCENES["cornell"].build()
+    cm = SCENES["cornell"].camera(8, 8)
+    total = jnp.int32(8 * 8 * 2)
+    k_i = jax.random.fold_in(KEY, 0)
+    k_s = jax.random.fold_in(KEY, 1)
+    args = (sc, cm, k_i, k_s, jnp.uint32(3), jnp.uint32(0), total,
+            128, 64, 0, 8, 8, "xla", False, 8)
+    R, total_i = 128, 128
+    st = integ._QueueState(
+        iteration=jnp.int32(0), frontier=jnp.int32(0),
+        origin=jnp.zeros((R, 3)), direction=jnp.ones((R, 3)),
+        time=jnp.zeros((R,)), throughput=jnp.ones((R, 3)),
+        accum=jnp.zeros((R, 3)), bounce=jnp.zeros((R,), jnp.int32),
+        work=jnp.full((R,), total_i, jnp.int32),
+        active=jnp.zeros((R,), bool),
+        plane=tuple(jnp.zeros((total_i,), jnp.float32) for _ in range(3)),
+        log=jnp.zeros((R, 3), jnp.float32),
+        posmap=jnp.full((total_i,), -1, jnp.int32),
+        cursor=jnp.int32(0),
+    )
+    # run epochs until the exit condition holds (frontier spent, none active)
+    for _ in range(40):
+        st = integ._queue_epoch(*((st,) + args))
+        f, n = (int(v) for v in np.asarray(integ._queue_counters(st)))
+        if f >= total_i and n == 0:
+            break
+    else:
+        raise AssertionError("queue never drained")
+    # iteration is epoch-local bookkeeping, reset at every epoch entry;
+    # the invariant covers everything else
+    before = jax.tree_util.tree_map(
+        np.asarray, st._replace(iteration=jnp.int32(0)))
+    st2 = integ._queue_epoch(*((st,) + args))
+    after = jax.tree_util.tree_map(
+        np.asarray, st2._replace(iteration=jnp.int32(0)))
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_queue_matches_pool_statistically():
     """Queue and pool draw different (both valid) streams; the estimates
     agree in expectation."""
