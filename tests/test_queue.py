@@ -189,3 +189,62 @@ def test_queue_media_statistics():
     iq = render(sc, cm, 10, 10, spp=64, max_depth=12, seed=5, mode="queue")
     ip = render(sc, cm, 10, 10, spp=64, max_depth=12, seed=5, mode="pool")
     np.testing.assert_allclose(iq.mean(), ip.mean(), rtol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# queue over a device mesh (integrator.trace_queue_mesh)
+# ---------------------------------------------------------------------------
+def test_queue_mesh_matches_single_device():
+    """Sharding a chunk's samples over devices is the same operation as
+    sample-chunking on one device, so the meshed queue must reproduce the
+    single-device queue (per-sample radiances are bit-identical; only the
+    final psum's f32 summation order differs)."""
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene, cam = _plane_scene(), _down_camera()
+    kw = dict(spp=16, max_depth=6, seed=7, mode="queue")
+    img_single = render(scene, cam, 12, 12, **kw)
+    img_mesh = render(scene, cam, 12, 12, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(img_mesh, img_single, rtol=1e-5, atol=1e-6)
+
+
+def test_queue_mesh_lights_mis():
+    """MIS light sampling + emissives through the meshed queue match the
+    single-device queue (cornell has the glass-sphere-in-light-list)."""
+    from tpu_ray.parallel.mesh import make_mesh
+
+    sc = SCENES["cornell"].build()
+    cm = SCENES["cornell"].camera(10, 10)
+    kw = dict(spp=8, max_depth=6, seed=13, mode="queue")
+    img_single = render(sc, cm, 10, 10, **kw)
+    img_mesh = render(sc, cm, 10, 10, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(img_mesh, img_single, rtol=1e-4, atol=1e-5)
+
+
+def test_queue_mesh_chunked(monkeypatch):
+    """Multiple sample chunks under a mesh (film-plane budget forces
+    chunking) still reproduce the unchunked meshed render."""
+    import tpu_ray.renderer as R
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene, cam = _plane_scene(), _down_camera()
+    kw = dict(spp=16, max_depth=4, seed=9, mode="queue")
+    mesh = make_mesh(8)
+    img_one = render(scene, cam, 8, 8, mesh=mesh, **kw)
+    # budget of one device-chunk row group: 8*8 pixels * 12 B * spp_d rows
+    monkeypatch.setattr(R, "QUEUE_PLANE_BYTES", 8 * 8 * 12 * 1)
+    img_chunked = render(scene, cam, 8, 8, mesh=mesh, **kw)
+    np.testing.assert_allclose(img_chunked, img_one, rtol=1e-6, atol=1e-7)
+
+
+def test_queue_mesh_uneven_spp_falls_back():
+    """spp that does not split over the devices renders via the pool (and
+    stays finite) instead of erroring."""
+    from tpu_ray.parallel.mesh import make_mesh
+
+    scene, cam = _plane_scene(), _down_camera()
+    img = render(scene, cam, 8, 8, spp=5, max_depth=3, seed=1,
+                 mode="queue", mesh=make_mesh(8))
+    assert img.shape == (8, 8, 3)
+    np.testing.assert_allclose(img, np.full((8, 8, 3), [0.5, 0.25, 0.125]),
+                               rtol=1e-5)

@@ -230,8 +230,14 @@ def test_resolve_mode_auto():
     # per-iteration sweep dominates the flush/inject glue
     assert resolve_mode(small, "auto") == "pool"
     assert resolve_mode(big, "auto") == "queue"
-    # queue v1 scope: single-device, brute-force sweep, full frames
-    assert resolve_mode(big, "auto", mesh=object()) == "pool"
+    # queue scope: brute-force sweep, full frames; meshes shard the
+    # sample axis so spp must split evenly over the devices
+    from tpu_ray.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    assert resolve_mode(big, "auto", mesh=mesh, spp=16) == "queue"
+    assert resolve_mode(big, "auto", mesh=mesh, spp=5) == "pool"
+    assert resolve_mode(big, "auto", mesh=mesh) == "pool"  # spp unknown
     assert resolve_mode(big, "auto", bvh=True) == "pool"
     assert resolve_mode(big, "auto", _rows=4) == "pool"
     assert resolve_mode(big, "pool") == "pool"

@@ -576,18 +576,15 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
     )
 
 
-@_partial(jax.jit,
-          static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16),
-          donate_argnums=0)
-def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
-                 chunk_s0, total, m, iters, threshold, width, height,
-                 engine, fused, max_depth, ablate=""):
+def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
+                      cam_salt, chunk_s0, total, m, iters, threshold,
+                      width, height, engine, fused, max_depth, ablate=""):
     """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
     once the frontier is spent and at most ``threshold`` lanes remain
-    active.  Module-level jit (scene/camera as arguments) so every chunk
-    and every render of the same shapes reuses one executable; epochs
-    bound the device time per dispatch (the remote worker crashes under
-    multi-second sustained executions - renderer.plan_pool note)."""
+    active.  Pure function: jitted below for the single-device path and
+    wrapped in shard_map by trace_queue_mesh.  Epochs bound the device
+    time per dispatch (the remote worker crashes under multi-second
+    sustained executions - renderer.plan_pool note)."""
 
     def cond(q: _QueueState):
         if threshold > 0:
@@ -611,6 +608,11 @@ def _queue_epoch(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                            max_depth=max_depth, ablate=ablate)
 
     return jax.lax.while_loop(cond, body, st._replace(iteration=jnp.int32(0)))
+
+
+_queue_epoch = _partial(jax.jit,
+                        static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16),
+                        donate_argnums=0)(_queue_epoch_impl)
 
 
 # log sizing: expected appends per chunk are total x avg-path-length rows
@@ -773,3 +775,205 @@ def trace_queue(
     st = _queue_materialize(st)
     return jnp.stack(
         [pl.reshape(chunk_spp, P).sum(axis=0) for pl in st.plane], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Work queue over a device mesh
+# ---------------------------------------------------------------------------
+#
+# The queue's draws are keyed by GLOBAL (work item, bounce) / (pixel, global
+# sample) counters and its plane writes are absolute, so splitting a chunk's
+# samples across devices is exactly the same operation as splitting them
+# into sample chunks on one device (tested bit-exact:
+# test_queue_sample_chunking): device d runs the single-device queue on
+# samples [chunk_s0 + d*spp_d, chunk_s0 + (d+1)*spp_d) with its own lanes,
+# frontier, log and plane shard, entirely inside shard_map - no collective
+# until ONE psum folds the per-device (P, 3) partials at the very end
+# (sample-wave DP over ICI, SURVEY.md section 2.4).  The host loop drives
+# all devices in lockstep: over-dispatching a finished device's epoch is a
+# bit-exact identity (test_queue_overdispatch_is_identity), so no
+# per-device scheduling is needed.
+
+from jax.sharding import PartitionSpec as _PSpec
+
+
+def _dev_squeeze(st):
+    return jax.tree.map(lambda a: jnp.squeeze(a, 0), st)
+
+
+def _dev_expand(st):
+    return jax.tree.map(lambda a: a[None], st)
+
+
+@_partial(jax.jit, static_argnums=tuple(range(7, 18)), donate_argnums=0)
+def _queue_epoch_mesh(st, scene, camera, k_isect, k_scat, cam_salt,
+                      chunk_s0, spp_d, total_d, m, iters, threshold,
+                      width, height, engine, fused, max_depth, mesh):
+    """One lockstep epoch: every device advances its own sub-chunk queue.
+    State leaves carry a leading device axis sharded over the mesh."""
+    axis = mesh.axis_names[0]
+
+    def dev(q, scene, camera, ki, ks, salt, cs0):
+        q = _dev_squeeze(q)
+        d = jax.lax.axis_index(axis).astype(jnp.uint32)
+        s0 = cs0 + d * jnp.uint32(spp_d)
+        q = _queue_epoch_impl(q, scene, camera, ki, ks, salt, s0,
+                              jnp.int32(total_d), m, iters, threshold,
+                              width, height, engine, fused, max_depth)
+        return _dev_expand(q)
+
+    return jax.shard_map(
+        dev, mesh=mesh,
+        in_specs=(_PSpec(axis), _PSpec(), _PSpec(), _PSpec(), _PSpec(),
+                  _PSpec(), _PSpec()),
+        out_specs=_PSpec(axis), check_vma=False,
+    )(st, scene, camera, k_isect, k_scat, cam_salt, chunk_s0)
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _queue_counters_mesh(st, mesh):
+    """(D, 2) int32 [frontier, n_active] per device - the host loop's whole
+    view of a lockstep epoch, one small transfer like _queue_counters."""
+    axis = mesh.axis_names[0]
+
+    def dev(q):
+        q = _dev_squeeze(q)
+        return jnp.stack([q.frontier,
+                          jnp.sum(q.active, dtype=jnp.int32)])[None]
+
+    return jax.shard_map(dev, mesh=mesh, in_specs=(_PSpec(axis),),
+                         out_specs=_PSpec(axis), check_vma=False)(st)
+
+
+@_partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+def _queue_compact_mesh(st, m, mesh):
+    """Per-device drain-ladder compaction (trace_queue's argsort take)."""
+    axis = mesh.axis_names[0]
+
+    def dev(q):
+        q = _dev_squeeze(q)
+        order = jnp.argsort(~q.active, stable=True)[:m]
+        take = lambda a: a[order]
+        return _dev_expand(q._replace(
+            iteration=jnp.int32(0), origin=take(q.origin),
+            direction=take(q.direction), time=take(q.time),
+            throughput=take(q.throughput), accum=take(q.accum),
+            bounce=take(q.bounce), work=take(q.work),
+            active=take(q.active)))
+
+    return jax.shard_map(dev, mesh=mesh, in_specs=(_PSpec(axis),),
+                         out_specs=_PSpec(axis), check_vma=False)(st)
+
+
+@_partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=0)
+def _queue_finish_mesh(st, spp_d, pixels, mesh):
+    """Materialize each device's log, reduce its plane shard sample-major
+    to a (P, 3) partial, and psum the partials over ICI."""
+    axis = mesh.axis_names[0]
+
+    def dev(q):
+        q = _materialize(_dev_squeeze(q))
+        part = jnp.stack(
+            [pl.reshape(spp_d, pixels).sum(axis=0) for pl in q.plane],
+            axis=-1)
+        return jax.lax.psum(part, axis)
+
+    return jax.shard_map(dev, mesh=mesh, in_specs=(_PSpec(axis),),
+                         out_specs=_PSpec(), check_vma=False)(st)
+
+
+def trace_queue_mesh(
+    scene: SceneData,
+    camera,
+    width: int,
+    height: int,
+    chunk_spp: int,            # samples in this chunk; divisible by D
+    chunk_s0,                  # first global sample index of the chunk
+    key,
+    max_depth: int,
+    R: int,                    # pool lanes PER DEVICE
+    mesh,
+    engine: str = "xla",
+    shade: Optional[str] = None,
+    cam_salt=jnp.uint32(0),
+    epoch_iters: int = 64,
+    drain_levels=(),
+    progress_cb=None,
+    log_rows: int = 0,
+):
+    """trace_queue over a device mesh: returns the chunk's (H*W, 3)
+    radiance SUM, identical to the single-device queue up to the final
+    psum's f32 summation order (per-sample radiances are bit-identical -
+    the module note above).  ``chunk_spp`` must divide evenly over the
+    mesh; the renderer arranges that (render._render_queue)."""
+    D = int(mesh.devices.size)
+    if chunk_spp % D:
+        raise ValueError(f"chunk_spp {chunk_spp} not divisible by "
+                         f"{D} devices")
+    P = width * height
+    spp_d = chunk_spp // D
+    total_d = P * spp_d
+    if max_depth <= 0:
+        return jnp.zeros((P, 3), jnp.float32)
+    fused = (_use_fused_shading(scene, None, engine) if shade is None
+             else shade == "fused")
+    k_isect = jax.random.fold_in(key, 0)
+    k_scat = jax.random.fold_in(key, 1)
+    cam_salt = jnp.asarray(cam_salt, jnp.uint32)
+    chunk_s0 = jnp.asarray(chunk_s0, jnp.uint32)
+    R = max(1024, min(R, total_d))
+    drain_levels = tuple(l for l in drain_levels if l < R)
+
+    L = max(log_rows, R) if log_rows > 0 else max(
+        R, min(QUEUE_LOG_BYTES // 12, total_d * QUEUE_LOG_AVG_PATH))
+    st = _QueueState(
+        iteration=jnp.zeros((D,), jnp.int32),
+        frontier=jnp.zeros((D,), jnp.int32),
+        origin=jnp.zeros((D, R, 3), jnp.float32),
+        direction=jnp.ones((D, R, 3), jnp.float32),
+        time=jnp.zeros((D, R), jnp.float32),
+        throughput=jnp.ones((D, R, 3), jnp.float32),
+        accum=jnp.zeros((D, R, 3), jnp.float32),
+        bounce=jnp.zeros((D, R), jnp.int32),
+        work=jnp.full((D, R), total_d, jnp.int32),
+        active=jnp.zeros((D, R), bool),
+        plane=tuple(jnp.zeros((D, total_d), jnp.float32) for _ in range(3)),
+        log=jnp.zeros((D, L, 3), jnp.float32),
+        posmap=jnp.full((D, total_d), -1, jnp.int32),
+        cursor=jnp.zeros((D,), jnp.int32),
+    )
+
+    def run(st, m, threshold):
+        max_epochs = 21 + (total_d // max(R, 1) + spp_d * max_depth
+                           + 2 * max_depth) // max(epoch_iters, 1) * 4
+        # same lagged pipeline as trace_queue.run: epoch k+1 dispatches
+        # before epoch k's counters land; over-dispatch is an identity
+        pending = None
+        for _ in range(max_epochs):
+            st = _queue_epoch_mesh(st, scene, camera, k_isect, k_scat,
+                                   cam_salt, chunk_s0, spp_d, total_d, m,
+                                   epoch_iters, threshold, width, height,
+                                   engine, fused, max_depth, mesh)
+            cur = _queue_counters_mesh(st, mesh)
+            if pending is not None:
+                arr = np.asarray(pending)
+                if progress_cb is not None:
+                    progress_cb(int(arr[:, 0].sum()), total_d * D)
+                if (arr[:, 0] >= total_d).all() and \
+                        (arr[:, 1] <= threshold).all():
+                    return st
+            pending = cur
+        arr = np.asarray(pending)
+        if (arr[:, 0] >= total_d).all() and (arr[:, 1] <= threshold).all():
+            return st
+        raise RuntimeError(
+            "trace_queue_mesh: epoch cap exceeded "
+            f"(frontiers {arr[:, 0].tolist()}/{total_d}, "
+            f"active {arr[:, 1].tolist()})")
+
+    st = run(st, R, drain_levels[0] if drain_levels else 0)
+    for li, m in enumerate(drain_levels):
+        st = _queue_compact_mesh(st, m, mesh)
+        nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
+        st = run(st, m, nxt)
+    return _queue_finish_mesh(st, spp_d, P, mesh)

@@ -91,20 +91,23 @@ def resolve_engine(scene, engine: str = "auto") -> str:
 
 
 def resolve_mode(scene, mode: str = "auto", mesh=None, bvh=False,
-                 engine: str = "auto", _rows=None) -> str:
-    """'auto' -> the work-queue integrator for big-prim single-device
-    renders, the wave pool otherwise.  The queue holds ~100% occupancy but
-    pays ~19 ms/iter of flush + inject glue, so it wins exactly where the
-    per-iteration sweep dominates (measured, tools/bench_mode.py:
-    next-week 7.4 s queue vs 9.5 s pool; book1 3.4 vs 1.4 AGAINST;
-    two-spheres 1.9 vs 0.36 AGAINST).  Queue v1 scope is single-device
-    brute-force-sweep renders; meshes / BVH / megakernel / band slices
-    stay on the pool."""
+                 engine: str = "auto", _rows=None, spp=None) -> str:
+    """'auto' -> the work-queue integrator for big-prim renders, the wave
+    pool otherwise.  The queue holds ~100% occupancy but pays ~19 ms/iter
+    of flush + inject glue, so it wins exactly where the per-iteration
+    sweep dominates (measured, tools/bench_mode.py: next-week 7.4 s queue
+    vs 9.5 s pool; book1 3.4 vs 1.4 AGAINST; two-spheres 1.9 vs 0.36
+    AGAINST).  BVH / megakernel / band slices stay on the pool.  Meshes
+    run the queue via trace_queue_mesh, which shards the sample axis -
+    spp must split evenly over the devices (pass ``spp`` to let auto
+    check; unknown or uneven spp falls back to the pool)."""
     if mode == "auto":
         mode = "queue" if scene.n_prims > QUEUE_MIN_PRIMS else "pool"
-    if mode == "queue" and (mesh is not None or bvh
-                            or resolve_engine(scene, engine) == "mega"
+    if mode == "queue" and (bvh or resolve_engine(scene, engine) == "mega"
                             or _rows is not None):
+        mode = "pool"
+    if mode == "queue" and mesh is not None and (
+            spp is None or spp % int(mesh.devices.size)):
         mode = "pool"
     return mode
 
@@ -350,15 +353,23 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
 
 def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                   rays_per_wave, engine, progress, checkpoint_path,
-                  checkpoint_every):
+                  checkpoint_every, mesh=None):
     """Work-queue render driver (integrator.trace_queue): sample chunks
     sized by the film-plane budget, per-chunk checkpointing, epoch-level
-    progress.  Returns the (H, W, 3) mean image."""
-    from .integrator import _use_fused_shading, trace_queue
+    progress.  Returns the (H, W, 3) mean image.  With a mesh, each
+    chunk's samples shard over the devices (integrator.trace_queue_mesh;
+    render() guarantees spp divides evenly)."""
+    from .integrator import _use_fused_shading, trace_queue, trace_queue_mesh
 
     P = width * height
     R, chunk_spp, epoch_iters, drain_levels = plan_queue(
         scene, width, height, spp, rays_per_wave, engine)
+    if mesh is not None:
+        # chunks must split evenly over devices; the plane budget is per
+        # device, so a chunk may hold D single-device chunks' samples
+        D = int(mesh.devices.size)
+        chunk_cap = max(1, QUEUE_PLANE_BYTES // (P * 12))
+        chunk_spp = D * _largest_divisor_leq(spp // D, chunk_cap)
     n_chunks = spp // chunk_spp
     shade = "fused" if _use_fused_shading(scene, None, engine) else "xla"
     base_key = jax.random.PRNGKey(seed)
@@ -374,10 +385,11 @@ def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                  and n_chunks >= 2)
     config_tag = None
     if checkpoint_path or auto_ckpt:
+        D = int(mesh.devices.size) if mesh is not None else 0
         config_tag = (f"v{SEMANTICS_VERSION}.s{int(scene.strict)}"
                       f"|{_scene_fingerprint(scene, camera)}|{scene.n_prims}"
                       f"|{width}x{height}|{spp}|{max_depth}|{seed}"
-                      f"|queue|{engine}|{chunk_spp}|{n_chunks}")
+                      f"|queue|{engine}|{chunk_spp}|{n_chunks}|d{D}")
     if auto_ckpt:
         import hashlib
 
@@ -416,12 +428,20 @@ def _render_queue(scene, camera, width, height, spp, max_depth, seed,
             print(f"\rRendering {pct:5.1f}%", end="", file=sys.stderr)
 
     for c in range(start_chunk, n_chunks):
-        part = trace_queue(
-            scene, camera, width, height, chunk_spp,
-            jnp.uint32(c * chunk_spp), k_queue, max_depth, R,
-            engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
-            epoch_iters=epoch_iters, drain_levels=drain_levels,
-            progress_cb=cb)
+        if mesh is not None:
+            part = trace_queue_mesh(
+                scene, camera, width, height, chunk_spp,
+                jnp.uint32(c * chunk_spp), k_queue, max_depth, R, mesh,
+                engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
+                epoch_iters=epoch_iters, drain_levels=drain_levels,
+                progress_cb=cb)
+        else:
+            part = trace_queue(
+                scene, camera, width, height, chunk_spp,
+                jnp.uint32(c * chunk_spp), k_queue, max_depth, R,
+                engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
+                epoch_iters=epoch_iters, drain_levels=drain_levels,
+                progress_cb=cb)
         film = film + part
         done_base[0] += P * chunk_spp
         if checkpoint_path and checkpoint_every and \
@@ -469,13 +489,13 @@ def render(
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
     mode = resolve_mode(scene, mode, mesh=mesh, bvh=bvh, engine=engine,
-                        _rows=_rows)
+                        _rows=_rows, spp=spp)
 
     if mode == "queue":
         return _render_queue(
             scene, camera, width, height, spp, max_depth, seed,
             rays_per_wave, engine, progress, checkpoint_path,
-            checkpoint_every)
+            checkpoint_every, mesh=mesh)
 
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold
