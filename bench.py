@@ -34,7 +34,8 @@ CONFIGS = {
 
 
 def run(config: str, rays_per_wave: int, out: str | None,
-        engine: str = "auto", bvh: bool = False, resume: bool = False) -> dict:
+        engine: str = "auto", bvh: bool = False, resume: bool = False,
+        rr_depth: int = 0) -> dict:
     from tpu_ray.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -54,7 +55,7 @@ def run(config: str, rays_per_wave: int, out: str | None,
 
     kwargs = dict(
         max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
-        engine=engine, bvh=bvh,
+        engine=engine, bvh=bvh, rr_depth=rr_depth,
     )
     # warmup: compile with the exact wave shapes of the timed run
     from tpu_ray.renderer import plan_pool, resolve_engine, resolve_mode
@@ -114,6 +115,7 @@ def run(config: str, rays_per_wave: int, out: str | None,
         "vs_baseline": round(baseline / elapsed, 2) if baseline else None,
         "engine": engine,
         "bvh": bvh,
+        **({"rr_depth": rr_depth} if rr_depth else {}),
     }
 
 
@@ -124,6 +126,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="optionally save the image")
     p.add_argument("--engine", default="auto", choices=("auto", "xla", "mxu", "pallas", "mega"))
     p.add_argument("--bvh", action="store_true")
+    p.add_argument("--rr-depth", type=int, default=0,
+                   help="Russian-roulette start depth (0 = off; an rr run "
+                        "is a different estimator - never the headline)")
     p.add_argument("--child", action="store_true",
                    help="run the measurement in-process (internal)")
     p.add_argument("--attempts", type=int, default=3)
@@ -139,7 +144,8 @@ def main(argv=None) -> int:
 
     if args.child:
         result = run(args.config, args.rays_per_wave, args.out,
-                     engine=args.engine, bvh=args.bvh, resume=args.resume)
+                     engine=args.engine, bvh=args.bvh, resume=args.resume,
+                     rr_depth=args.rr_depth)
         print(json.dumps(result))
         return 0
 
@@ -153,6 +159,8 @@ def main(argv=None) -> int:
     child_args = [sys.executable, os.path.abspath(__file__), "--child",
                   "--config", args.config, "--engine", args.engine,
                   "--rays-per-wave", str(args.rays_per_wave)]
+    if args.rr_depth:
+        child_args += ["--rr-depth", str(args.rr_depth)]
     if args.bvh:
         child_args += ["--bvh"]
     if args.resume:

@@ -97,6 +97,23 @@ def lane_uniforms(key, lane_ids: jnp.ndarray, n: int) -> jnp.ndarray:
     return hash_uniforms(base, n)
 
 
+def lane_uniform_col(key, lane_ids: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Column ``i`` of :func:`lane_uniforms`' stream without materializing
+    the earlier columns: one U[0,1) f32 per lane.
+
+    Used for draws consumed OUTSIDE ops/scatter.py (e.g. the integrators'
+    Russian-roulette survival test on column 14) that must come from the
+    same per-(key, lane id) stream as the scatter draws so the Pallas
+    kernels (megakernel._hash_col on the same base) reproduce them.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    base = _murmur3_fmix(lane_ids.astype(jnp.uint32) + kd[0]) ^ kd[1]
+    salt = jnp.uint32(0x9E3779B9) * jnp.uint32(i + 1)
+    bits = _murmur3_fmix(_murmur3_fmix(base + salt) ^ salt)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24))
+
+
 def path_ids(work: jnp.ndarray, bounce: jnp.ndarray) -> jnp.ndarray:
     """Synthetic per-lane draw ids for the work-queue integrator: a
     schedule-independent mix of (work item, bounce).

@@ -30,7 +30,7 @@ from .core import rng as rng_mod
 from .core import vec
 from .models.scene_data import SceneData
 from .ops.intersect import intersect_scene
-from .ops.scatter import scatter
+from .ops.scatter import RR_COL, RR_PMIN, scatter
 
 COMPACT_MIN = 1 << 14
 # Compaction-ladder shape, chosen per scene by sweep weight (measured on
@@ -96,14 +96,16 @@ class _PathState(NamedTuple):
 
 
 def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
-          engine: str = "xla", lane_ids=None):
+          engine: str = "xla", lane_ids=None, rr_depth: int = 0):
     """Trace a wavefront to completion; returns per-ray radiance (R, 3).
 
     ``rt`` is the per-ray shutter time, constant along each path (the
     reference threads ``rtime`` through every scattered ray).  Pass a
     :class:`~tpu_ray.ops.bvh.BVHArrays` as ``bvh`` to use traversal instead
     of the brute-force intersector.  ``lane_ids`` keys each lane's
-    randomness (defaults to position).
+    randomness (defaults to position).  ``rr_depth`` > 0 enables Russian
+    roulette after that many bounces (ops/scatter.py RR note; unbiased,
+    NOT reference semantics - default off).
     """
     isect = _make_isect(scene, bvh, engine)
     R = ro.shape[0]
@@ -123,8 +125,9 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
 
     def body(s: _PathState) -> _PathState:
         kb = jax.random.fold_in(key, s.bounce)
+        k_sc = jax.random.fold_in(kb, 1)
         rec = isect(s.origin, s.direction, rt, jax.random.fold_in(kb, 0), lane_ids)
-        sc = scatter(scene, jax.random.fold_in(kb, 1), s.direction, rec, lane_ids)
+        sc = scatter(scene, k_sc, s.direction, rec, lane_ids)
 
         miss = s.alive & ~rec.hit
         emit = s.alive & rec.hit & ~sc.scattered
@@ -137,7 +140,18 @@ def trace(scene: SceneData, ro, rd, rt, key, max_depth: int, bvh=None,
             emit, s.throughput * sc.emitted, jnp.zeros_like(radiance)
         )
         throughput = vec.where3(cont, s.throughput * sc.weight, s.throughput)
-        alive = cont & (jnp.max(throughput, axis=-1) > 0.0)
+        kill = jnp.zeros_like(cont)
+        if rr_depth:
+            # survival p from the INCOMING throughput (identical across
+            # engines - the fused kernels' carried tp already includes any
+            # deferred image albedo); see ops/scatter.py RR note
+            p = jnp.clip(jnp.max(s.throughput, axis=-1), RR_PMIN, 1.0)
+            do_rr = cont & (s.bounce >= rr_depth)
+            kill = do_rr & (rng_mod.lane_uniform_col(k_sc, lane_ids,
+                                                     RR_COL) >= p)
+            throughput = vec.where3(do_rr & ~kill, throughput / p[:, None],
+                                    throughput)
+        alive = cont & ~kill & (jnp.max(throughput, axis=-1) > 0.0)
         return _PathState(
             bounce=s.bounce + 1,
             origin=vec.where3(cont, rec.point, s.origin),
@@ -177,6 +191,7 @@ def trace_pool(
     bvh=None,                  # optional BVHArrays for traversal
     engine: str = "xla",       # "xla" | "pallas" solid-prim sweep
     slot_ids=None,             # (R,) uint32 GLOBAL slot ids (default arange)
+    rr_depth: int = 0,         # >0: Russian roulette after this many bounces
     shade: Optional[str] = None,  # "fused" | "xla" | None = resolve here.
     # Callers that jit trace_pool (renderer._pool_step) MUST resolve this
     # OUTSIDE the jit and pass it as a static argument - the module-level
@@ -217,7 +232,7 @@ def trace_pool(
 
         return trace_pool_mega(scene, camera, s, t, inv_wh, key,
                                n_samples, sample0, max_depth, cam_salt,
-                               slot_ids=slot_ids)
+                               slot_ids=slot_ids, rr_depth=rr_depth)
     n_samples = jnp.asarray(n_samples, jnp.int32)
     isect = _make_isect(scene, bvh, engine)
     fused = (_use_fused_shading(scene, bvh, engine) if shade is None
@@ -276,15 +291,16 @@ def trace_pool(
                     st.origin, st.direction, st.time, st.throughput,
                     st.accum, st.bounce, st.sample, st.active, bt, bi,
                     jax.random.fold_in(kb, 1), n_samples, sample0,
-                    cam_salt, (inv_w, inv_h), max_depth)
+                    cam_salt, (inv_w, inv_h), max_depth,
+                    rr_depth=rr_depth)
                 return _PoolState(
                     iteration=st.iteration + 1, origin=o2, direction=d2,
                     time=tm2, throughput=tp2, bounce=bo2, sample=sa2,
                     active=av2, accum=ac2)
+            k_sc = jax.random.fold_in(kb, 1)
             rec = isect(st.origin, st.direction, st.time,
                         jax.random.fold_in(kb, 0), slot_ids_loc)
-            sc = scatter(scene, jax.random.fold_in(kb, 1), st.direction,
-                         rec, slot_ids_loc)
+            sc = scatter(scene, k_sc, st.direction, rec, slot_ids_loc)
 
             miss = st.active & ~rec.hit
             emit = st.active & rec.hit & ~sc.scattered
@@ -298,10 +314,18 @@ def trace_pool(
             )
             throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
             bounce = jnp.where(cont, st.bounce + 1, st.bounce)
+            kill = jnp.zeros_like(cont)
+            if rr_depth:
+                p = jnp.clip(jnp.max(st.throughput, axis=-1), RR_PMIN, 1.0)
+                do_rr = cont & (st.bounce >= rr_depth)
+                kill = do_rr & (rng_mod.lane_uniform_col(
+                    k_sc, slot_ids_loc, RR_COL) >= p)
+                throughput = vec.where3(do_rr & ~kill,
+                                        throughput / p[:, None], throughput)
             # a path also dies on depth exhaustion (contributes nothing,
-            # src/Lib.hs:1303-1304) or zero throughput
+            # src/Lib.hs:1303-1304), zero throughput, or a roulette kill
             dead_now = st.active & (
-                miss | emit
+                miss | emit | kill
                 | (cont & (bounce >= max_depth))
                 | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
             )
@@ -459,7 +483,7 @@ class _QueueState(NamedTuple):
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                 chunk_s0, total, *, m, width, height, engine, fused,
-                max_depth, ablate=""):
+                max_depth, rr_depth=0, ablate=""):
     """One queue iteration: trace + shade + flush dead + inject fresh.
 
     ``ablate`` (static, bench-only — tools/bench_queue_phase.py) disables
@@ -485,7 +509,8 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
             st.origin, st.direction, st.time, st.throughput,
             st.accum, st.bounce, jnp.zeros((m,), jnp.int32),
             st.active, bt, bi, k_scat, jnp.int32(0), jnp.uint32(0),
-            jnp.uint32(0), (1.0 / width, 1.0 / height), max_depth)
+            jnp.uint32(0), (1.0 / width, 1.0 / height), max_depth,
+            rr_depth=rr_depth)
     else:
         isect = _make_isect(scene, None, engine)
         rec = isect(st.origin, st.direction, st.time, k_isect, sid)
@@ -499,8 +524,15 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
             emit, st.throughput * sc.emitted, jnp.zeros_like(ac2))
         tp2 = vec.where3(cont, st.throughput * sc.weight, st.throughput)
         bo2 = jnp.where(cont, st.bounce + 1, st.bounce)
+        kill = jnp.zeros_like(cont)
+        if rr_depth:
+            p = jnp.clip(jnp.max(st.throughput, axis=-1), RR_PMIN, 1.0)
+            do_rr = cont & (st.bounce >= rr_depth)
+            kill = do_rr & (rng_mod.lane_uniform_col(k_scat, sid,
+                                                     RR_COL) >= p)
+            tp2 = vec.where3(do_rr & ~kill, tp2 / p[:, None], tp2)
         dead_now = st.active & (
-            miss | emit
+            miss | emit | kill
             | (cont & (bo2 >= max_depth))
             | (cont & (jnp.max(tp2, axis=-1) <= 0.0))
         )
@@ -578,7 +610,8 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
 
 def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
                       cam_salt, chunk_s0, total, m, iters, threshold,
-                      width, height, engine, fused, max_depth, ablate=""):
+                      width, height, engine, fused, max_depth, rr_depth=0,
+                      ablate=""):
     """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
     once the frontier is spent and at most ``threshold`` lanes remain
     active.  Pure function: jitted below for the single-device path and
@@ -605,13 +638,15 @@ def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
         return _queue_body(q, scene, camera, k_isect, k_scat, cam_salt,
                            chunk_s0, total, m=m, width=width,
                            height=height, engine=engine, fused=fused,
-                           max_depth=max_depth, ablate=ablate)
+                           max_depth=max_depth, rr_depth=rr_depth,
+                           ablate=ablate)
 
     return jax.lax.while_loop(cond, body, st._replace(iteration=jnp.int32(0)))
 
 
 _queue_epoch = _partial(jax.jit,
-                        static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16),
+                        static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16,
+                                        17),
                         donate_argnums=0)(_queue_epoch_impl)
 
 
@@ -671,6 +706,7 @@ def trace_queue(
     drain_levels=(),           # pool sizes for the final-drain compaction
     progress_cb=None,          # optional fn(frontier, total) per epoch
     log_rows: int = 0,         # radiance-log rows (0 = auto-size per chunk)
+    rr_depth: int = 0,         # >0: Russian roulette after this many bounces
 ):
     """Render ``width*height*chunk_spp`` camera samples with a work-queue
     pool; returns the (H*W, 3) radiance SUM over the chunk's samples.
@@ -734,7 +770,8 @@ def trace_queue(
         for _ in range(max_epochs):
             st = _queue_epoch(st, scene, camera, k_isect, k_scat, cam_salt,
                               chunk_s0, total, m, epoch_iters, threshold,
-                              width, height, engine, fused, max_depth)
+                              width, height, engine, fused, max_depth,
+                              rr_depth)
             cur = _queue_counters(st)
             if pending is not None:
                 frontier, n_active = (int(v) for v in np.asarray(pending))
@@ -805,10 +842,11 @@ def _dev_expand(st):
     return jax.tree.map(lambda a: a[None], st)
 
 
-@_partial(jax.jit, static_argnums=tuple(range(7, 18)), donate_argnums=0)
+@_partial(jax.jit, static_argnums=tuple(range(7, 19)), donate_argnums=0)
 def _queue_epoch_mesh(st, scene, camera, k_isect, k_scat, cam_salt,
                       chunk_s0, spp_d, total_d, m, iters, threshold,
-                      width, height, engine, fused, max_depth, mesh):
+                      width, height, engine, fused, max_depth, rr_depth,
+                      mesh):
     """One lockstep epoch: every device advances its own sub-chunk queue.
     State leaves carry a leading device axis sharded over the mesh."""
     axis = mesh.axis_names[0]
@@ -819,7 +857,8 @@ def _queue_epoch_mesh(st, scene, camera, k_isect, k_scat, cam_salt,
         s0 = cs0 + d * jnp.uint32(spp_d)
         q = _queue_epoch_impl(q, scene, camera, ki, ks, salt, s0,
                               jnp.int32(total_d), m, iters, threshold,
-                              width, height, engine, fused, max_depth)
+                              width, height, engine, fused, max_depth,
+                              rr_depth)
         return _dev_expand(q)
 
     return jax.shard_map(
@@ -900,6 +939,7 @@ def trace_queue_mesh(
     drain_levels=(),
     progress_cb=None,
     log_rows: int = 0,
+    rr_depth: int = 0,
 ):
     """trace_queue over a device mesh: returns the chunk's (H*W, 3)
     radiance SUM, identical to the single-device queue up to the final
@@ -953,7 +993,8 @@ def trace_queue_mesh(
             st = _queue_epoch_mesh(st, scene, camera, k_isect, k_scat,
                                    cam_salt, chunk_s0, spp_d, total_d, m,
                                    epoch_iters, threshold, width, height,
-                                   engine, fused, max_depth, mesh)
+                                   engine, fused, max_depth, rr_depth,
+                                   mesh)
             cur = _queue_counters_mesh(st, mesh)
             if pending is not None:
                 arr = np.asarray(pending)

@@ -317,7 +317,7 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
             cam_ref, scal_ref, bg_ref,
             ax_ref, ay_ref, az_ref, ns_ref, *,
             scene: SceneData, n_samples: int, max_depth: int, iter_cap: int,
-            inv_w: float, inv_h: float, n_lights: int):
+            inv_w: float, inv_h: float, n_lights: int, rr_depth: int = 0):
     f32 = np.float32
     t_min = f32(scene.t_min)
     xs = xs_ref[...]
@@ -744,12 +744,27 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         acc = (acc[0] + jnp.where(emit, tp[0] * emitted[0], 0.0),
                acc[1] + jnp.where(emit, tp[1] * emitted[1], 0.0),
                acc[2] + jnp.where(emit, tp[2] * emitted[2], 0.0))
+        kill = jnp.zeros_like(cont)
+        if rr_depth:
+            # Russian roulette (ops/scatter.py RR note): p from the
+            # INCOMING tp, uniform = scatter-stream column RR_COL
+            from ..ops.scatter import RR_COL, RR_PMIN
+
+            tp_in = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
+            p_rr = jnp.minimum(jnp.maximum(tp_in, np.float32(RR_PMIN)),
+                               np.float32(1.0))
+            do_rr = cont & (bounce >= rr_depth)
+            kill = do_rr & (u(RR_COL) >= p_rr)
         tp = _where3(cont, (tp[0] * weight[0], tp[1] * weight[1],
                             tp[2] * weight[2]), tp)
         bounce = jnp.where(cont, bounce + 1, bounce)
+        if rr_depth:
+            surv = do_rr & ~kill
+            tp = _where3(surv, (tp[0] / p_rr, tp[1] / p_rr, tp[2] / p_rr),
+                         tp)
         tp_max = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
         dead_now = act & (
-            miss | emit | (cont & (bounce >= max_depth))
+            miss | emit | kill | (cont & (bounce >= max_depth))
             | (cont & (tp_max <= 0.0))
         )
         o = _where3(cont, (px, py, pz), o)
@@ -775,7 +790,8 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
 
 def trace_pool_mega(scene: SceneData, camera, s, t, inv_wh, key, n_samples,
                     sample0, max_depth: int, cam_salt=np.uint32(0),
-                    slot_ids=None, interpret: bool | None = None):
+                    slot_ids=None, rr_depth: int = 0,
+                    interpret: bool | None = None):
     """Drop-in for integrator.trace_pool on supported() scenes.
 
     ``n_samples`` must be a static int (it sizes the precomputed key table).
@@ -822,7 +838,7 @@ def trace_pool_mega(scene: SceneData, camera, s, t, inv_wh, key, n_samples,
     kern = partial(
         _kernel, scene=scene, n_samples=n_samples, max_depth=int(max_depth),
         iter_cap=int(iter_cap), inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]),
-        n_lights=int(scene.n_lights),
+        n_lights=int(scene.n_lights), rr_depth=int(rr_depth),
     )
     bg = jnp.asarray(scene.background, jnp.float32).reshape(1, 3)
     tile_spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0),

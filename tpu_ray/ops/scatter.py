@@ -41,6 +41,17 @@ from .textures import texture_value, texture_value_packed
 
 INV_PI = 1.0 / jnp.pi
 
+# Russian-roulette estimator option (NOT in the reference, default off):
+# a path that has completed >= rr_depth bounces survives each further
+# bounce with p = clamp(max(incoming throughput), RR_PMIN, 1) and scales
+# its throughput by 1/p - the standard unbiased termination used by
+# production tracers.  The survival uniform is column RR_COL of the
+# scatter stream (columns 0-13 are consumed by scatter(); every engine -
+# XLA, fused Pallas, megakernel - draws the same column from the same
+# (key, lane id) base, so engines agree on the kill decisions).
+RR_PMIN = 0.05
+RR_COL = 14
+
 
 @struct.dataclass
 class ScatterResult:

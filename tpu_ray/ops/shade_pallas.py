@@ -80,7 +80,7 @@ from .megakernel import (
     _unit_vector_from,
     _where3,
 )
-from .scatter import ScatterResult
+from .scatter import RR_COL, RR_PMIN, ScatterResult
 from .textures import image_value_from
 
 INF = np.float32(np.inf)
@@ -406,7 +406,8 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
                  ns_ref, bg_ref,
                  *out_refs,
                  scene: SceneData, n_lights: int, n_blocks: int,
-                 max_depth: int, inv_w: float, inv_h: float):
+                 max_depth: int, inv_w: float, inv_h: float,
+                 rr_depth: int = 0):
     """One full pool iteration for a (8, 128) tile: shade (record +
     textures + scatter + MIS), estimator accumulation, state update, and
     camera regeneration - mirror of integrator.trace_pool's body + regen
@@ -453,11 +454,25 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
           ac[2] + jnp.where(miss, tp[2] * bg_ref[0, 2], 0.0)
           + jnp.where(emit, tp[2] * emitted[2], 0.0))
     w = s["weight"]
+    kill = jnp.zeros_like(cont)
+    if rr_depth:
+        # Russian roulette (ops/scatter.py RR note): survival p from the
+        # INCOMING tp (pre-weight; identical across engines - the carried
+        # tp includes any deferred image albedo), uniform = column RR_COL
+        # of the scatter stream (same base _shade_core's u() hashes)
+        tp_in = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
+        p_rr = jnp.minimum(jnp.maximum(tp_in, f32(RR_PMIN)), f32(1.0))
+        u_rr = _hash_col(_fmix(slot + kw_ref[0, 0]) ^ kw_ref[0, 1], RR_COL)
+        do_rr = cont & (bounce >= rr_depth)
+        kill = do_rr & (u_rr >= p_rr)
     tp = _where3(cont, (tp[0] * w[0], tp[1] * w[1], tp[2] * w[2]), tp)
     bounce = jnp.where(cont, bounce + 1, bounce)
+    if rr_depth:
+        surv = do_rr & ~kill
+        tp = _where3(surv, (tp[0] / p_rr, tp[1] / p_rr, tp[2] / p_rr), tp)
     tp_max = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
     dead_now = act & (
-        miss | emit | (cont & (bounce >= max_depth))
+        miss | emit | kill | (cont & (bounce >= max_depth))
         | (cont & (tp_max <= 0.0))
     )
     o = _where3(cont, s["point"], o)
@@ -524,7 +539,7 @@ def pool_step_pallas(scene: SceneData, camera, xs, ys, slot_ids,
                      origin, direction, time, throughput, accum, bounce,
                      sample, active, best_t, best_i, key, n_samples,
                      sample0, cam_salt, inv_wh, max_depth: int,
-                     interpret: bool | None = None):
+                     rr_depth: int = 0, interpret: bool | None = None):
     """One fused pool iteration (shade + accumulate + update + regen).
 
     Drop-in for the elementwise section of integrator.trace_pool's body
@@ -565,7 +580,8 @@ def pool_step_pallas(scene: SceneData, camera, xs, ys, slot_ids,
 
     kern = partial(_step_kernel, scene=scene, n_lights=int(scene.n_lights),
                    n_blocks=n_blocks, max_depth=int(max_depth),
-                   inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]))
+                   inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]),
+                   rr_depth=int(rr_depth))
     tile_spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     full = lambda ms: pl.BlockSpec(memory_space=ms)

@@ -277,11 +277,11 @@ def _slot_ids(width: int, height: int, k: int, row0: int = 0,
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11, 13, 14, 15),
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 11, 13, 14, 15, 16),
          donate_argnums=0)
 def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
                sample0, max_depth, cam_salt=0, engine="xla", bvh=None,
-               row0=0, rows=None, shade=None):
+               row0=0, rows=None, shade=None, rr_depth=0):
     """One pool wave, accumulated into the film.
 
     Module-level jit with scene/camera as *arguments* and ``n_samples``
@@ -295,6 +295,7 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
         scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
         n_samples, sample0, max_depth, cam_salt, bvh=bvh, engine=engine,
         slot_ids=_slot_ids(width, height, k_pool, row0, rows), shade=shade,
+        rr_depth=rr_depth,
     )
     return accum + rad.reshape(k_pool, rows, width, 3).sum(axis=0)
 
@@ -302,14 +303,15 @@ def _pool_step(accum, scene, camera, key, width, height, k_pool, n_samples,
 # megakernel variant: n_samples must be STATIC (it sizes the in-kernel
 # iteration cap and the precomputed fold_in key table)
 _pool_step_mega = partial(jax.jit,
-                          static_argnums=(4, 5, 6, 7, 9, 11, 13, 14, 15),
+                          static_argnums=(4, 5, 6, 7, 9, 11, 13, 14, 15, 16),
                           donate_argnums=0)(_pool_step.__wrapped__)
 
 
 def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
                       k_pool: int, samples_per_slot: int, max_depth: int,
                       cam_salt=0, bvh=None, engine: str = "xla",
-                      row0: int = 0, rows: int | None = None):
+                      row0: int = 0, rows: int | None = None,
+                      rr_depth: int = 0):
     """fn(key, sample0) -> (rows, W, 3) radiance summed over
     k_pool * samples_per_slot samples per pixel (used by the mesh path)."""
     rows = height if rows is None else rows
@@ -325,7 +327,7 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
         accum, _ = trace_pool(
             scene, camera, xs, ys, (1.0 / width, 1.0 / height), key,
             samples_per_slot, sample0, max_depth, cam_salt, bvh=bvh,
-            engine=engine, slot_ids=sids, shade=shade,
+            engine=engine, slot_ids=sids, shade=shade, rr_depth=rr_depth,
         )
         return accum.reshape(k_pool, rows, width, 3).sum(axis=0)
 
@@ -333,7 +335,8 @@ def make_pool_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
 
 
 def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
-                 k: int, max_depth: int, bvh=None, engine: str = "xla"):
+                 k: int, max_depth: int, bvh=None, engine: str = "xla",
+                 rr_depth: int = 0):
     """Plain-wavefront variant (one sample per slot per wave): fn(key) ->
     (H, W, 3) sum of k samples per pixel.  Kept as the semantic reference;
     the pool integrator is the fast path."""
@@ -345,7 +348,8 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
         u = xs + jitter[:, 0] / width
         v = ys + jitter[:, 1] / height
         ro, rd, rt = camera.get_rays(k_cam, u, v)
-        rad = trace(scene, ro, rd, rt, k_path, max_depth, bvh=bvh, engine=engine)
+        rad = trace(scene, ro, rd, rt, k_path, max_depth, bvh=bvh,
+                    engine=engine, rr_depth=rr_depth)
         return rad.reshape(k, height, width, 3).sum(axis=0)
 
     return wave
@@ -353,7 +357,7 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
 
 def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                   rays_per_wave, engine, progress, checkpoint_path,
-                  checkpoint_every, mesh=None):
+                  checkpoint_every, mesh=None, rr_depth=0):
     """Work-queue render driver (integrator.trace_queue): sample chunks
     sized by the film-plane budget, per-chunk checkpointing, epoch-level
     progress.  Returns the (H, W, 3) mean image.  With a mesh, each
@@ -389,7 +393,8 @@ def _render_queue(scene, camera, width, height, spp, max_depth, seed,
         config_tag = (f"v{SEMANTICS_VERSION}.s{int(scene.strict)}"
                       f"|{_scene_fingerprint(scene, camera)}|{scene.n_prims}"
                       f"|{width}x{height}|{spp}|{max_depth}|{seed}"
-                      f"|queue|{engine}|{chunk_spp}|{n_chunks}|d{D}")
+                      f"|queue|{engine}|{chunk_spp}|{n_chunks}|d{D}"
+                      f"|rr{rr_depth}")
     if auto_ckpt:
         import hashlib
 
@@ -434,14 +439,14 @@ def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                 jnp.uint32(c * chunk_spp), k_queue, max_depth, R, mesh,
                 engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
                 epoch_iters=epoch_iters, drain_levels=drain_levels,
-                progress_cb=cb)
+                progress_cb=cb, rr_depth=rr_depth)
         else:
             part = trace_queue(
                 scene, camera, width, height, chunk_spp,
                 jnp.uint32(c * chunk_spp), k_queue, max_depth, R,
                 engine=engine, shade=shade, cam_salt=jnp.uint32(seed),
                 epoch_iters=epoch_iters, drain_levels=drain_levels,
-                progress_cb=cb)
+                progress_cb=cb, rr_depth=rr_depth)
         film = film + part
         done_base[0] += P * chunk_spp
         if checkpoint_path and checkpoint_every and \
@@ -475,6 +480,7 @@ def render(
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    rr_depth: int = 0,
     _row0: int = 0,
     _rows: Optional[int] = None,
 ) -> np.ndarray:
@@ -484,7 +490,10 @@ def render(
     ``samples_per_wave`` bounds how many samples each slot renders per wave
     (larger waves amortize the path-length tail; smaller waves give finer
     progress/checkpoint/mesh granularity).  ``bvh=True`` intersects via
-    stack-based BVH traversal instead of brute force.
+    stack-based BVH traversal instead of brute force.  ``rr_depth`` > 0
+    enables Russian-roulette path termination after that many bounces
+    (unbiased; NOT reference estimator semantics - ops/scatter.py RR
+    note; default off).
     """
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
@@ -495,7 +504,7 @@ def render(
         return _render_queue(
             scene, camera, width, height, spp, max_depth, seed,
             rays_per_wave, engine, progress, checkpoint_path,
-            checkpoint_every, mesh=mesh)
+            checkpoint_every, mesh=mesh, rr_depth=rr_depth)
 
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold
@@ -517,7 +526,7 @@ def render(
                 max_depth=max_depth, seed=seed, rays_per_wave=rays_per_wave,
                 samples_per_wave=samples_per_wave, mode=mode, bvh=bvh,
                 engine=engine, mesh=mesh, progress=progress,
-                checkpoint_path=ck,
+                checkpoint_path=ck, rr_depth=rr_depth,
                 checkpoint_every=checkpoint_every, _row0=row0, _rows=bh,
             ))
         return np.concatenate(bands, axis=0)
@@ -532,7 +541,7 @@ def render(
         k = pick_samples_per_wave(width, height, spp, rays_per_wave)
         n_waves = spp // k
         wf = make_wave_fn(scene, camera, width, height, k, max_depth,
-                          bvh=bvh_arrays, engine=engine)
+                          bvh=bvh_arrays, engine=engine, rr_depth=rr_depth)
         wave_fn = lambda key, sample0: wf(key)
         wave_spp = k
     else:
@@ -542,7 +551,7 @@ def render(
         wave_fn = make_pool_wave_fn(
             scene, camera, width, height, k_pool, s_wave, max_depth,
             cam_salt=jnp.uint32(seed), bvh=bvh_arrays, engine=engine,
-            row0=_row0, rows=rows,
+            row0=_row0, rows=rows, rr_depth=rr_depth,
         )
         wave_spp = k_pool * s_wave
 
@@ -572,7 +581,7 @@ def render(
                 return _pool_step_mega(
                     acc, scene, camera, key, width, height, k_pool,
                     int(s_wave), sample0, max_depth, jnp.uint32(seed),
-                    engine, bvh_arrays, _row0, rows, shade)
+                    engine, bvh_arrays, _row0, rows, shade, rr_depth)
         else:
             s_wave_arr = jnp.int32(s_wave)
 
@@ -580,7 +589,7 @@ def render(
                 return _pool_step(acc, scene, camera, key, width, height,
                                   k_pool, s_wave_arr, sample0, max_depth,
                                   jnp.uint32(seed), engine, bvh_arrays,
-                                  _row0, rows, shade)
+                                  _row0, rows, shade, rr_depth)
 
     accum = jnp.zeros((rows, width, 3), jnp.float32)
     start_wave = 0
@@ -595,7 +604,8 @@ def render(
         config_tag = (f"v{SEMANTICS_VERSION}.s{int(scene.strict)}"
                       f"|{_scene_fingerprint(scene, camera)}|{scene.n_prims}"
                       f"|{width}x{height}|{spp}|{max_depth}|{seed}"
-                      f"|{mode}|{engine}|{wave_spp}|{n_waves}|{_row0}:{rows}")
+                      f"|{mode}|{engine}|{wave_spp}|{n_waves}|{_row0}:{rows}"
+                      f"|rr{rr_depth}")
     if auto_ckpt:
         # long renders checkpoint by default; the file is keyed by the
         # config tag (auto-resumed on an identical re-run after a crash)

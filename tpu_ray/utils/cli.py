@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "quirks (Unhittable light mixture for no-light scenes, "
                         "isotropic cos/pi medium weighting) instead of the "
                         "documented fixes in ops/scatter.py")
+    p.add_argument("--rr-depth", type=int, default=0, metavar="N",
+                   help="Russian-roulette path termination after N bounces "
+                        "(0 = off, the reference's semantics; unbiased - a "
+                        "path survives each further bounce with p = its "
+                        "throughput, weighted by 1/p - but not "
+                        "sample-for-sample comparable to rr-depth 0)")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -169,6 +175,7 @@ def main(argv=None) -> int:
             samples_per_wave=args.samples_per_wave, mesh=mesh, progress=True,
             engine=args.engine, bvh=args.bvh, mode=args.mode,
             checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+            rr_depth=args.rr_depth,
         )
     elapsed = time.perf_counter() - t_start
     film.write_image(img, None if args.out == "-" else args.out)
