@@ -132,7 +132,7 @@ def main(argv=None) -> int:
     p.add_argument("--child", action="store_true",
                    help="run the measurement in-process (internal)")
     p.add_argument("--attempts", type=int, default=3)
-    p.add_argument("--suite", default="next-week",
+    p.add_argument("--suite", default="next-week,cornell",
                    help="comma-separated extra configs appended to the "
                         "headline JSON under 'suite' (best-effort: failures "
                         "never lose the headline); '' disables")
