@@ -481,10 +481,24 @@ class _QueueState(NamedTuple):
     # resets mid-chunk.
 
 
+# Worklist packing (adaptive sampling, tpu_ray/adaptive.py): one uint32
+# per work item, pixel id in the high bits and the pixel's ABSOLUTE sample
+# index in the low WL_SAMP_BITS.  Bounds checked by the driver: P < 2^18
+# pixels, < 2^14 samples per pixel.
+WL_SAMP_BITS = 14
+WL_SAMP_MASK = (1 << WL_SAMP_BITS) - 1
+
+
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                 chunk_s0, total, *, m, width, height, engine, fused,
-                max_depth, rr_depth=0, ablate=""):
+                max_depth, rr_depth=0, ablate="", worklist=None):
     """One queue iteration: trace + shade + flush dead + inject fresh.
+
+    ``worklist`` (optional (Wl,) uint32, Wl >= total) overrides the
+    implicit work->(pixel, sample) map: item w renders pixel
+    ``worklist[w] >> WL_SAMP_BITS`` at absolute per-pixel sample index
+    ``worklist[w] & WL_SAMP_MASK``.  Entries past ``total`` are padding
+    (shape bucketing for executable reuse) and are never dispatched.
 
     ``ablate`` (static, bench-only — tools/bench_queue_phase.py) disables
     one glue stage to isolate its hardware cost: "noflush" skips the plane
@@ -553,8 +567,12 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         log = jax.lax.dynamic_update_slice(
             st.log, ac2, (st.cursor, jnp.int32(0)))
         # indices are globally unique (live lanes' sentinels are distinct
-        # out-of-bounds rows, dropped), so XLA may parallelize the scatter
-        sentinel = total + jnp.arange(m, dtype=jnp.int32)
+        # out-of-bounds rows, dropped), so XLA may parallelize the scatter.
+        # The sentinel base is the STATIC posmap size, not the traced
+        # ``total``: with a padded worklist total < len(posmap) and a
+        # total-based sentinel would corrupt the padding rows.
+        sentinel = jnp.int32(st.posmap.shape[0]) + jnp.arange(
+            m, dtype=jnp.int32)
         idx = jnp.where(died, st.work, sentinel)
         posmap = st.posmap.at[idx].set(
             st.cursor + jnp.arange(m, dtype=jnp.int32),
@@ -575,9 +593,17 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         ranks = jnp.cumsum(free.astype(jnp.int32)) - 1
     w_new = st.frontier + jnp.where(free, ranks, 0)
     valid = free & (w_new < total)
-    pix = jnp.where(valid, w_new % (width * height), 0)
-    gsample = chunk_s0 + jnp.where(valid, w_new // (width * height),
-                                   0).astype(jnp.uint32)
+    if worklist is None:
+        pix = jnp.where(valid, w_new % (width * height), 0)
+        gsample = chunk_s0 + jnp.where(valid, w_new // (width * height),
+                                       0).astype(jnp.uint32)
+    else:
+        packed = worklist[jnp.where(valid, w_new, 0)]
+        pix = jnp.where(valid,
+                        (packed >> jnp.uint32(WL_SAMP_BITS)).astype(jnp.int32),
+                        0)
+        gsample = jnp.where(valid, packed & jnp.uint32(WL_SAMP_MASK),
+                            jnp.uint32(0))
     if ablate == "nocam":
         ro, rd, rt = o2, d2, tm2
     else:
@@ -611,7 +637,7 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
 def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
                       cam_salt, chunk_s0, total, m, iters, threshold,
                       width, height, engine, fused, max_depth, rr_depth=0,
-                      ablate=""):
+                      ablate="", worklist=None):
     """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
     once the frontier is spent and at most ``threshold`` lanes remain
     active.  Pure function: jitted below for the single-device path and
@@ -639,7 +665,7 @@ def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
                            chunk_s0, total, m=m, width=width,
                            height=height, engine=engine, fused=fused,
                            max_depth=max_depth, rr_depth=rr_depth,
-                           ablate=ablate)
+                           ablate=ablate, worklist=worklist)
 
     return jax.lax.while_loop(cond, body, st._replace(iteration=jnp.int32(0)))
 
@@ -681,6 +707,30 @@ def _materialize(st: _QueueState) -> _QueueState:
 _queue_materialize = jax.jit(_materialize, donate_argnums=0)
 
 
+@_partial(jax.jit, static_argnums=(0, 1, 2))
+def _queue_init(R: int, pad_i: int, L: int) -> _QueueState:
+    """Fresh queue state in ONE executable: eager per-leaf jnp.zeros would
+    cost ~14 dispatch round trips through the remote-worker tunnel per
+    trace_queue call (measured as the dominant per-round fixed cost of
+    small adaptive rounds)."""
+    return _QueueState(
+        iteration=jnp.int32(0),
+        frontier=jnp.int32(0),
+        origin=jnp.zeros((R, 3), jnp.float32),
+        direction=jnp.ones((R, 3), jnp.float32),
+        time=jnp.zeros((R,), jnp.float32),
+        throughput=jnp.ones((R, 3), jnp.float32),
+        accum=jnp.zeros((R, 3), jnp.float32),
+        bounce=jnp.zeros((R,), jnp.int32),
+        work=jnp.full((R,), pad_i, jnp.int32),  # sentinel: no work yet
+        active=jnp.zeros((R,), bool),
+        plane=tuple(jnp.zeros((pad_i,), jnp.float32) for _ in range(3)),
+        log=jnp.zeros((L, 3), jnp.float32),
+        posmap=jnp.full((pad_i,), -1, jnp.int32),
+        cursor=jnp.int32(0),
+    )
+
+
 @jax.jit
 def _queue_counters(st: _QueueState):
     """(2,) int32 [frontier, n_active]: the host loop's whole view of an
@@ -707,6 +757,11 @@ def trace_queue(
     progress_cb=None,          # optional fn(frontier, total) per epoch
     log_rows: int = 0,         # radiance-log rows (0 = auto-size per chunk)
     rr_depth: int = 0,         # >0: Russian roulette after this many bounces
+    worklist=None,             # (Wl,) uint32 packed (pixel, sample) items
+    n_work: Optional[int] = None,  # true item count <= Wl (rest = padding)
+    wl_block_pix=None,         # (Wl/Q,) int32 per-block pixel ids for
+    #                            pixel-major Q-quantized worklists (>= P
+    #                            rows drop); enables the blocked reduction
 ):
     """Render ``width*height*chunk_spp`` camera samples with a work-queue
     pool; returns the (H*W, 3) radiance SUM over the chunk's samples.
@@ -715,13 +770,29 @@ def trace_queue(
     row 0 at the top, matching renderer._pixel_grid) and global sample
     index ``chunk_s0 + w // (W*H)``.  The caller picks ``R`` (device lane
     cap), ``epoch_iters`` (watchdog bound) and the drain ladder.
+
+    With ``worklist`` (adaptive sampling, tpu_ray/adaptive.py) the work->
+    (pixel, sample) map instead comes from the packed entries (see
+    _queue_body); ``chunk_spp`` is ignored, only the first ``n_work``
+    entries are dispatched (the rest is shape-bucketing padding whose
+    plane rows stay 0), and the return value is the pair
+    ``(radiance sums, radiance square sums)``, each (H*W, 3), accumulated
+    per PIXEL over the dispatched items.  ``chunk_s0`` still offsets the
+    path-space draw ids: callers must advance it between rounds so draw
+    streams never repeat.
     """
     P = width * height
-    chunk_spp = int(chunk_spp)
-    total_i = P * chunk_spp
+    if worklist is not None:
+        pad_i = int(worklist.shape[0])
+        total_i = pad_i if n_work is None else int(n_work)
+        chunk_spp = -(-total_i // P) or 1  # epoch-cap estimate only
+    else:
+        chunk_spp = int(chunk_spp)
+        total_i = pad_i = P * chunk_spp
     if max_depth <= 0:
         # depth 0 -> every sample is black (src/Lib.hs:1303-1304)
-        return jnp.zeros((P, 3), jnp.float32)
+        z = jnp.zeros((P, 3), jnp.float32)
+        return (z, z) if worklist is not None else z
     fused = (_use_fused_shading(scene, None, engine) if shade is None
              else shade == "fused")
     # purpose keys, CONSTANT across iterations: per-draw variation comes
@@ -736,22 +807,7 @@ def trace_queue(
     # next m-row append (m <= R) always fits
     L = max(log_rows, R) if log_rows > 0 else max(
         R, min(QUEUE_LOG_BYTES // 12, total_i * QUEUE_LOG_AVG_PATH))
-    st = _QueueState(
-        iteration=jnp.int32(0),
-        frontier=jnp.int32(0),
-        origin=jnp.zeros((R, 3), jnp.float32),
-        direction=jnp.ones((R, 3), jnp.float32),
-        time=jnp.zeros((R,), jnp.float32),
-        throughput=jnp.ones((R, 3), jnp.float32),
-        accum=jnp.zeros((R, 3), jnp.float32),
-        bounce=jnp.zeros((R,), jnp.int32),
-        work=jnp.full((R,), total_i, jnp.int32),  # sentinel: no work yet
-        active=jnp.zeros((R,), bool),
-        plane=tuple(jnp.zeros((total_i,), jnp.float32) for _ in range(3)),
-        log=jnp.zeros((L, 3), jnp.float32),
-        posmap=jnp.full((total_i,), -1, jnp.int32),
-        cursor=jnp.int32(0),
-    )
+    st = _queue_init(R, pad_i, L)
 
     def run(st, m, threshold):
         # host loop cap: every epoch either advances the frontier or
@@ -771,7 +827,7 @@ def trace_queue(
             st = _queue_epoch(st, scene, camera, k_isect, k_scat, cam_salt,
                               chunk_s0, total, m, epoch_iters, threshold,
                               width, height, engine, fused, max_depth,
-                              rr_depth)
+                              rr_depth, worklist=worklist)
             cur = _queue_counters(st)
             if pending is not None:
                 frontier, n_active = (int(v) for v in np.asarray(pending))
@@ -810,8 +866,46 @@ def trace_queue(
     # identical f32 association per (pixel, channel) to a (spp, P, 3)
     # .sum(axis=0)
     st = _queue_materialize(st)
+    if worklist is not None:
+        if wl_block_pix is not None:
+            return _worklist_sums_blocked(st.plane, wl_block_pix, P)
+        return _worklist_sums(st.plane, worklist, P)
     return jnp.stack(
         [pl.reshape(chunk_spp, P).sum(axis=0) for pl in st.plane], axis=-1)
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _worklist_sums(plane, worklist, P):
+    """Per-pixel (radiance sum, radiance square sum) of a worklist chunk's
+    plane, for arbitrary (unstructured) worklists: per-CHANNEL planar
+    scatter-adds.  Padding rows were never written (their posmap stayed
+    -1), so they add 0.  Never stack the plane into an (N, 3) array here:
+    XLA lays that intermediate out lane-padded 3->128 (measured: a 64M-row
+    stack copy wanted 32 GB of HBM).  Scatters pay per index (PERFLOG.md),
+    so this path costs ~6 x N x 20 ns - production (adaptive) worklists
+    use the blocked variant below instead."""
+    pix = (worklist >> jnp.uint32(WL_SAMP_BITS)).astype(jnp.int32)
+    z = jnp.zeros((P,), jnp.float32)
+    sums = [z.at[pix].add(pl) for pl in plane]
+    sqs = [z.at[pix].add(pl * pl) for pl in plane]
+    return jnp.stack(sums, axis=-1), jnp.stack(sqs, axis=-1)
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _worklist_sums_blocked(plane, block_pix, P):
+    """Blocked per-pixel reduction for PIXEL-MAJOR, block-quantized
+    worklists (tpu_ray/adaptive.py): every Q = N // len(block_pix)
+    consecutive items belong to one pixel, so each channel reduces by a
+    dense (N/Q, Q) row sum (bandwidth-bound, exact per block) followed by
+    ONE (N/Q,)-index scatter-add - ~Q x fewer scatter indices than the
+    planar path.  ``block_pix`` entries >= P (padding blocks) drop."""
+    nb = block_pix.shape[0]
+    z = jnp.zeros((P,), jnp.float32)
+    sums = [z.at[block_pix].add(pl.reshape(nb, -1).sum(axis=1),
+                                mode="drop") for pl in plane]
+    sqs = [z.at[block_pix].add((pl * pl).reshape(nb, -1).sum(axis=1),
+                               mode="drop") for pl in plane]
+    return jnp.stack(sums, axis=-1), jnp.stack(sqs, axis=-1)
 
 
 # ---------------------------------------------------------------------------

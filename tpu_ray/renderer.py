@@ -481,6 +481,7 @@ def render(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     rr_depth: int = 0,
+    adaptive: float = 0.0,
     _row0: int = 0,
     _rows: Optional[int] = None,
 ) -> np.ndarray:
@@ -493,8 +494,21 @@ def render(
     stack-based BVH traversal instead of brute force.  ``rr_depth`` > 0
     enables Russian-roulette path termination after that many bounces
     (unbiased; NOT reference estimator semantics - ops/scatter.py RR
-    note; default off).
+    note; default off).  ``adaptive`` > 0 renders with per-pixel adaptive
+    sampling at that tone-mapped standard-error tolerance; ``spp`` becomes
+    the per-pixel budget cap (tpu_ray/adaptive.py; single-device only).
     """
+    if adaptive and adaptive > 0:
+        if mesh is not None:
+            raise ValueError("adaptive sampling is single-device; "
+                             "drop --devices or --adaptive")
+        from .adaptive import render_adaptive
+
+        return render_adaptive(
+            scene, camera, width, height, spp_max=spp, tol=adaptive,
+            max_depth=max_depth, seed=seed, rays_per_wave=rays_per_wave,
+            engine=engine, rr_depth=rr_depth, progress=progress)
+
     base_key = jax.random.PRNGKey(seed)
     engine = resolve_engine(scene, engine)
     mode = resolve_mode(scene, mode, mesh=mesh, bvh=bvh, engine=engine,

@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "path survives each further bounce with p = its "
                         "throughput, weighted by 1/p - but not "
                         "sample-for-sample comparable to rr-depth 0)")
+    p.add_argument("--adaptive", type=float, default=0.0, metavar="TOL",
+                   help="per-pixel adaptive sampling: stop each pixel once "
+                        "the standard error of its tone-mapped value is "
+                        "below TOL (try 0.01); --spp becomes the per-pixel "
+                        "budget cap.  A different quality contract than the "
+                        "reference's fixed spp (tpu_ray/adaptive.py); "
+                        "single-device only")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -175,7 +182,7 @@ def main(argv=None) -> int:
             samples_per_wave=args.samples_per_wave, mesh=mesh, progress=True,
             engine=args.engine, bvh=args.bvh, mode=args.mode,
             checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-            rr_depth=args.rr_depth,
+            rr_depth=args.rr_depth, adaptive=args.adaptive,
         )
     elapsed = time.perf_counter() - t_start
     film.write_image(img, None if args.out == "-" else args.out)
