@@ -129,7 +129,7 @@ def test_adaptive_zero_variance_stops_at_pilot():
     scene, cam = _plane_scene(), _down_camera()
     img, n = render_adaptive(scene, cam, 8, 8, spp_max=256, tol=0.01,
                              max_depth=8, seed=2, pilot_spp=4,
-                             return_spp=True)
+                             mode="queue", return_spp=True)
     assert (n == WL_QUANT).all(), \
         "zero-variance pixels must stop at the (quantized) pilot"
     np.testing.assert_allclose(
@@ -148,13 +148,62 @@ def test_adaptive_budget_and_convergence():
     cam = SCENES["cornell"].camera(W, H)
     img, n = render_adaptive(sc, cam, W, H, spp_max=64, tol=0.02,
                              max_depth=50, seed=5, pilot_spp=16,
-                             round_cap=32, return_spp=True)
+                             round_cap=32, mode="queue", return_spp=True)
     assert n.min() >= 16 and n.max() <= 64
     assert n.max() > 16, "no pixel needed more than the pilot?"
     assert len(np.unique(n)) > 1, "adaptive allocated uniformly"
     assert np.isfinite(img).all()
     ref = np.asarray(render(sc, cam, W, H, spp=128, max_depth=50, seed=11))
     np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.08)
+
+
+def test_adaptive_pool_zero_variance_stops_at_pilot():
+    """Pool backend on the furnace plane: every replicate slot sum is
+    exact, so round-1 variance is ~0 and every pixel stops at the
+    (POOL_REPS-aligned) pilot with the exact mean."""
+    from tests.test_rr import _down_camera, _plane_scene
+    from tpu_ray.adaptive import POOL_REPS, render_adaptive
+
+    scene, cam = _plane_scene(), _down_camera()
+    img, n = render_adaptive(scene, cam, 8, 8, spp_max=256, tol=0.01,
+                             max_depth=8, seed=2, pilot_spp=POOL_REPS,
+                             mode="pool", return_spp=True)
+    assert (n == POOL_REPS).all()
+    np.testing.assert_allclose(
+        img, np.broadcast_to([0.5, 0.25, 0.125], img.shape), rtol=1e-5)
+
+
+def test_adaptive_pool_budget_and_convergence():
+    """Pool backend on Cornell: equal doubling keeps all counts in
+    [pilot, spp_max], counts vary across pixels, and the mean matches a
+    uniform render within Monte-Carlo tolerance."""
+    from tpu_ray.adaptive import render_adaptive
+
+    sc = SCENES["cornell"].build()
+    W = H = 12
+    cam = SCENES["cornell"].camera(W, H)
+    img, n = render_adaptive(sc, cam, W, H, spp_max=128, tol=0.02,
+                             max_depth=50, seed=5, pilot_spp=16,
+                             mode="pool", return_spp=True)
+    assert n.min() >= 16 and n.max() <= 128
+    assert len(np.unique(n)) > 1, "adaptive allocated uniformly"
+    assert np.isfinite(img).all()
+    ref = np.asarray(render(sc, cam, W, H, spp=128, max_depth=50, seed=11))
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.08)
+
+
+def test_adaptive_pool_matches_queue_statistically():
+    """The two adaptive backends draw different streams but estimate the
+    same image; their means agree within Monte-Carlo tolerance."""
+    from tpu_ray.adaptive import render_adaptive
+
+    sc = SCENES["two-spheres"].build()
+    W, H = 10, 8
+    cam = SCENES["two-spheres"].camera(W, H)
+    kw = dict(spp_max=64, tol=0.03, max_depth=8, seed=4)
+    a = render_adaptive(sc, cam, W, H, mode="pool", **kw)
+    b = render_adaptive(sc, cam, W, H, mode="queue", **kw)
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.08)
 
 
 def test_adaptive_via_render_api():

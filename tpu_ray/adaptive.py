@@ -165,6 +165,7 @@ def render_adaptive(
     rays_per_wave: int = 1 << 20,
     engine: str = "auto",
     shade: Optional[str] = None,
+    mode: str = "auto",        # "queue" | "pool" | "auto" (per scene size)
     pilot_spp: int = 16,       # uniform first round (variance bootstrap)
     round_cap: int = 512,      # max extra samples per pixel per round
     max_rounds: int = 64,
@@ -177,11 +178,19 @@ def render_adaptive(
 
     Every pixel receives between ``pilot_spp`` and ``spp_max`` samples;
     sampling stops per pixel once the standard error of its tone-mapped
-    value drops below ``tol`` (worst channel).  Estimator semantics per
-    sample are identical to ``mode="queue"`` uniform rendering - only the
-    per-pixel sample COUNTS differ.
+    value drops below ``tol`` (worst channel).  Two backends, matching the
+    uniform renderer's mode split (renderer.resolve_mode):
+
+    - "queue": worklist rounds on the work-queue integrator, per-pixel
+      allocations ~ n*(err/tol)^2.  Production path for big-prim scenes.
+    - "pool": replicate-slot rounds on trace_pool (slot_ids = pixel +
+      replicate*P, so variance comes from POOL_REPS independent slot
+      sums), with EQUAL doubling allocations so all active pixels share
+      one sample count - no per-lane indirection at all, which keeps the
+      pool's 3-12 ns/lane-iter rate (the queue pays ~56 ns + an
+      injection gather; PERFLOG.md "Adaptive sampling").
     """
-    from .renderer import plan_queue, resolve_engine
+    from .renderer import resolve_engine, resolve_mode
 
     P = width * height
     if P > (1 << (32 - WL_SAMP_BITS)):
@@ -191,14 +200,34 @@ def render_adaptive(
     if spp_max > WL_SAMP_MASK:
         raise ValueError(
             f"adaptive sampling supports spp <= {WL_SAMP_MASK}")
+    engine = resolve_engine(scene, engine)
+    if mode == "auto":
+        mode = resolve_mode(scene, "auto", engine=engine, spp=spp_max)
+    kw = dict(spp_max=spp_max, tol=tol, max_depth=max_depth, seed=seed,
+              rays_per_wave=rays_per_wave, engine=engine, shade=shade,
+              pilot_spp=pilot_spp, round_cap=round_cap,
+              max_rounds=max_rounds, rr_depth=rr_depth, progress=progress,
+              return_spp=return_spp)
+    if mode == "pool":
+        return _render_adaptive_pool(scene, camera, width, height, **kw)
+    return _render_adaptive_queue(scene, camera, width, height, **kw)
+
+
+def _render_adaptive_queue(
+    scene, camera, width, height, *, spp_max, tol, max_depth, seed,
+    rays_per_wave, engine, shade, pilot_spp, round_cap, max_rounds,
+    rr_depth, progress, return_spp,
+):
+    """Worklist rounds on the work-queue integrator (see render_adaptive)."""
+    from .renderer import plan_queue
+
+    P = width * height
     # align every budget knob to WL_QUANT blocks (the blocked reduction's
     # unit); spp_max rounds DOWN (a budget cap), the others up
     spp_max = max(WL_QUANT, spp_max // WL_QUANT * WL_QUANT)
     pilot_spp = max(2, min(pilot_spp, spp_max))  # variance needs n >= 2
     pilot_spp = -(-pilot_spp // WL_QUANT) * WL_QUANT
     round_cap = max(WL_QUANT, round_cap // WL_QUANT * WL_QUANT)
-
-    engine = resolve_engine(scene, engine)
     # no drain ladder: each level is another executable PER BUCKET and the
     # queue's device-side early exit already absorbs most of the tail
     # (PERFLOG.md "Queue drain ladder": no-ladder within 5% of the best)
@@ -259,6 +288,143 @@ def render_adaptive(
             sys.stderr.flush()
         if not extra.any():
             break
+    if progress:
+        import sys
+
+        sys.stderr.write("\n")
+    img = (s / n[:, None]).astype(np.float32).reshape(height, width, 3)
+    if return_spp:
+        return img, n.reshape(height, width)
+    return img
+
+
+# replicate slots per pixel on the pool backend: the per-round variance
+# estimate has POOL_REPS - 1 degrees of freedom (and sharpens as rounds
+# accumulate via inverse-variance combination)
+POOL_REPS = 8
+
+
+@_partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def _pool_round(scene, camera, act, key, width, height, max_depth,
+                engine, shade, rr_depth, n_slot, sample0):
+    """One pool round over the active pixel list ``act`` ((A,) int32,
+    padding rows render pixel 0 and are discarded by the caller): each
+    pixel runs POOL_REPS replicate slots of ``n_slot`` samples.  Returns
+    the stacked ((2, A, 3)) per-pixel [sum of slot sums, sum of squared
+    slot sums].  Slot ids pixel + replicate*P give every replicate a
+    distinct camera/path stream; ``sample0`` (per-slot samples already
+    rendered) keeps streams distinct across rounds."""
+    from .integrator import trace_pool
+
+    P = width * height
+    A = act.shape[0]
+    pix = act.astype(jnp.uint32)
+    reps = jnp.arange(POOL_REPS, dtype=jnp.uint32)
+    slot = (pix[:, None] + reps[None, :] * jnp.uint32(P)).reshape(-1)
+    sx = (pix % width).astype(jnp.float32) * (1.0 / width)
+    sy = ((jnp.uint32(height - 1) - pix // width).astype(jnp.float32)
+          * (1.0 / height))
+    s = jnp.broadcast_to(sx[:, None], (A, POOL_REPS)).reshape(-1)
+    t = jnp.broadcast_to(sy[:, None], (A, POOL_REPS)).reshape(-1)
+    accum, _ = trace_pool(
+        scene, camera, s, t, (1.0 / width, 1.0 / height), key, n_slot,
+        sample0, max_depth, jnp.uint32(0), engine=engine, slot_ids=slot,
+        shade=shade, rr_depth=rr_depth)
+    acc = accum.reshape(A, POOL_REPS, 3)
+    return jnp.stack((acc.sum(axis=1), (acc * acc).sum(axis=1)))
+
+
+def _render_adaptive_pool(
+    scene, camera, width, height, *, spp_max, tol, max_depth, seed,
+    rays_per_wave, engine, shade, pilot_spp, round_cap, max_rounds,
+    rr_depth, progress, return_spp,
+):
+    """Replicate-slot doubling rounds on trace_pool (see render_adaptive).
+
+    All active pixels always share ONE sample count (every pixel gets the
+    same allocation each round and drops out when converged or capped),
+    so rounds need no per-lane indirection: slot ids and film coords are
+    broadcast from the compacted active list, and the reduction is a
+    dense (A, POOL_REPS) reshape-sum."""
+    P = width * height
+    Q = POOL_REPS
+    spp_max = max(Q, spp_max // Q * Q)
+    pilot_spp = -(-max(2, min(pilot_spp, spp_max)) // Q) * Q
+    round_cap = max(Q, round_cap // Q * Q)
+    lane_cap = max(Q * 4096, rays_per_wave)
+    if shade is None:
+        # _pool_round jits trace_pool, so the fused-shading choice must be
+        # resolved OUTSIDE the jit (trace_pool's own docstring warning)
+        from .integrator import _use_fused_shading
+
+        shade = ("fused" if _use_fused_shading(scene, None, engine)
+                 else "xla")
+
+    key = jax.random.PRNGKey(seed)
+    n = np.zeros(P, np.int64)
+    s = np.zeros((P, 3), np.float64)
+    # inverse-variance bookkeeping: var(total mean) = acc_a / n^2 where
+    # acc_a accumulates k_round^2 * var(round mean) per channel
+    acc_a = np.zeros((P, 3), np.float64)
+    active = np.arange(P, dtype=np.int64)
+    k_round = pilot_spp
+    for rnd in range(max_rounds):
+        import time as _time
+
+        t_round = _time.perf_counter()
+        m = k_round // Q  # samples per replicate slot this round
+        slot_base = int(n[active[0]]) // Q  # per-slot samples so far
+        slab = max(4096, lane_cap // Q)
+        ssum = np.empty((active.size, 3), np.float64)
+        ssq = np.empty((active.size, 3), np.float64)
+        for lo in range(0, active.size, slab):
+            part = active[lo:lo + slab]
+            a_pad = 1 << max(12, (int(part.size) - 1).bit_length())
+            act = jnp.asarray(
+                np.pad(part, (0, a_pad - part.size)).astype(np.int32))
+            out = np.asarray(_pool_round(
+                scene, camera, act, jax.random.fold_in(key, rnd),
+                width, height, max_depth, engine, shade, rr_depth,
+                jnp.int32(m), jnp.uint32(slot_base)), np.float64)
+            ssum[lo:lo + slab] = out[0, : part.size]
+            ssq[lo:lo + slab] = out[1, : part.size]
+        # per-round mean variance from the Q replicate slot means
+        mu_sum = ssum / m
+        mu_sq = ssq / (m * m)
+        mean_r = mu_sum / Q
+        var_mu = np.maximum(mu_sq - Q * mean_r * mean_r, 0.0) / (Q - 1)
+        s[active] += ssum
+        acc_a[active] += (k_round * k_round) * (var_mu / Q)
+        n[active] += k_round
+        # convergence: display-space stderr of the combined mean
+        na = n[active].astype(np.float64)[:, None]
+        mean = s[active] / na
+        var_mean = acc_a[active] / (na * na)
+        sigma_d = np.sqrt(var_mean) / (
+            2.0 * np.sqrt(np.maximum(mean, DISPLAY_FLOOR**2)))
+        err = sigma_d.max(axis=1)
+        keep = (err > tol) & (n[active] < spp_max)
+        if progress:
+            import sys
+
+            sys.stderr.write(
+                f"\r[adaptive/pool] round {rnd + 1}: "
+                f"{100.0 * (1 - keep.sum() / P):5.1f}% pixels done, "
+                f"spp {n.min()}-{n.max()} (mean {n.mean():.1f}), err p99 "
+                f"{np.quantile(err, 0.99):.4f}, "
+                f"{_time.perf_counter() - t_round:.2f}s\n")
+            sys.stderr.flush()
+        active = active[keep]
+        if active.size == 0:
+            break
+        # equal doubling, clipped to the per-round cap and the budget
+        # (every active pixel shares n, so the remaining headroom is
+        # identical across the set); a straggler sliver fills to the cap
+        k_round = int(min(max(n[active[0]], pilot_spp), round_cap,
+                          spp_max - n[active[0]]))
+        if active.size < max(64, P // 256):
+            k_round = int(spp_max - n[active[0]])
+        k_round = max(Q, k_round // Q * Q)
     if progress:
         import sys
 
