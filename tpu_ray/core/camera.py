@@ -28,6 +28,12 @@ class Camera:
     lens_radius: jnp.ndarray   # ()
     time0: jnp.ndarray         # ()
     time1: jnp.ndarray         # ()
+    # Image-plane sample generator: "uniform" = per-sample hash jitter
+    # (the reference's estimator, src/Lib.hs:1352-1371); "sobol" =
+    # per-pixel scrambled (0,2)-sequence (core/qmc.py).  A static pytree
+    # field: it rides every jit cache key wherever the camera flows, so
+    # no integrator signature carries it explicitly.
+    sampler: str = struct.field(pytree_node=False, default="uniform")
 
     @classmethod
     def create(

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core import qmc
 from .core import rng as rng_mod
 from .core import vec
 from .models.scene_data import SceneData
@@ -261,8 +262,15 @@ def trace_pool(
                 (sample0 + state.sample.astype(jnp.uint32)) ^ cam_salt,
                 5,
             )
+            jx, jy = u5[:, 0], u5[:, 1]
+            if camera.sampler == "sobol":
+                # low-discrepancy pixel jitter (core/qmc.py); lens/time
+                # stay on the hash columns
+                jx, jy = qmc.pixel_uniforms(
+                    slot_ids_loc, sample0 + state.sample.astype(jnp.uint32),
+                    cam_salt)
             ro, rd, rt = camera.rays_from_uniforms(
-                s_loc + u5[:, 0] * inv_w, t_loc + u5[:, 1] * inv_h, u5[:, 2:5]
+                s_loc + jx * inv_w, t_loc + jy * inv_h, u5[:, 2:5]
             )
             return state._replace(
                 origin=vec.where3(want, ro, state.origin),
@@ -611,9 +619,15 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         # trace_pool.regen's construction with the pixel id as the slot word
         u5 = rng_mod.hash_uniforms2(
             pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
-        sx = ((pix % width).astype(jnp.float32) + u5[:, 0]) * (1.0 / width)
+        jx, jy = u5[:, 0], u5[:, 1]
+        if camera.sampler == "sobol":
+            # keyed (slot=pixel, PLAIN gsample) exactly like trace_pool's
+            # regen: the camera stream is schedule-independent here too
+            jx, jy = qmc.pixel_uniforms(
+                pix.astype(jnp.uint32), gsample, cam_salt)
+        sx = ((pix % width).astype(jnp.float32) + jx) * (1.0 / width)
         sy = ((height - 1 - pix // width).astype(jnp.float32)
-              + u5[:, 1]) * (1.0 / height)
+              + jy) * (1.0 / height)
         ro, rd, rt = camera.rays_from_uniforms(sx, sy, u5[:, 2:5])
     return _QueueState(
         iteration=st.iteration + 1,

@@ -317,7 +317,8 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
             cam_ref, scal_ref, bg_ref,
             ax_ref, ay_ref, az_ref, ns_ref, *,
             scene: SceneData, n_samples: int, max_depth: int, iter_cap: int,
-            inv_w: float, inv_h: float, n_lights: int, rr_depth: int = 0):
+            inv_w: float, inv_h: float, n_lights: int, rr_depth: int = 0,
+            sampler: str = "uniform"):
     f32 = np.float32
     t_min = f32(scene.t_min)
     xs = xs_ref[...]
@@ -342,6 +343,12 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         u2 = _hash_col(base, 2)
         u3 = _hash_col(base, 3)
         u4 = _hash_col(base, 4)
+        if sampler == "sobol":
+            # scrambled (0,2)-sequence pixel jitter (core/qmc.py)
+            from ..core import qmc
+
+            u0, u1 = qmc.pixel_uniforms(
+                slot, sample0 + sample.astype(jnp.uint32), cam_salt)
         sx = xs + u0 * f32(inv_w)
         sy = ys + u1 * f32(inv_h)
         # mirror camera.rays_from_uniforms
@@ -839,6 +846,7 @@ def trace_pool_mega(scene: SceneData, camera, s, t, inv_wh, key, n_samples,
         _kernel, scene=scene, n_samples=n_samples, max_depth=int(max_depth),
         iter_cap=int(iter_cap), inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]),
         n_lights=int(scene.n_lights), rr_depth=int(rr_depth),
+        sampler=camera.sampler,
     )
     bg = jnp.asarray(scene.background, jnp.float32).reshape(1, 3)
     tile_spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0),

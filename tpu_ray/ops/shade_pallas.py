@@ -407,7 +407,7 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
                  *out_refs,
                  scene: SceneData, n_lights: int, n_blocks: int,
                  max_depth: int, inv_w: float, inv_h: float,
-                 rr_depth: int = 0):
+                 rr_depth: int = 0, sampler: str = "uniform"):
     """One full pool iteration for a (8, 128) tile: shade (record +
     textures + scatter + MIS), estimator accumulation, state update, and
     camera regeneration - mirror of integrator.trace_pool's body + regen
@@ -493,6 +493,13 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
     u2 = _hash_col(base, 2)
     u3 = _hash_col(base, 3)
     u4 = _hash_col(base, 4)
+    if sampler == "sobol":
+        # scrambled (0,2)-sequence pixel jitter (core/qmc.py) on the
+        # PLAIN global sample index; pure tile bit math, Pallas-safe
+        from ..core import qmc
+
+        u0, u1 = qmc.pixel_uniforms(
+            slot, sample0 + sample.astype(jnp.uint32), cam_salt)
     sx = xs + u0 * f32(inv_w)
     sy = ys + u1 * f32(inv_h)
     r = cam(18) * jnp.sqrt(u2)
@@ -581,7 +588,7 @@ def pool_step_pallas(scene: SceneData, camera, xs, ys, slot_ids,
     kern = partial(_step_kernel, scene=scene, n_lights=int(scene.n_lights),
                    n_blocks=n_blocks, max_depth=int(max_depth),
                    inv_w=float(inv_wh[0]), inv_h=float(inv_wh[1]),
-                   rr_depth=int(rr_depth))
+                   rr_depth=int(rr_depth), sampler=camera.sampler)
     tile_spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     full = lambda ms: pl.BlockSpec(memory_space=ms)

@@ -236,6 +236,7 @@ def _scene_fingerprint(scene: SceneData, camera: Camera) -> str:
         h.update(np.asarray(a).tobytes())
     for leaf in jax.tree.leaves(camera):
         h.update(np.asarray(leaf).tobytes())
+    h.update(camera.sampler.encode())  # static field, not a pytree leaf
     h.update(np.float32(scene.background).tobytes())
     return h.hexdigest()[:12]
 
@@ -340,6 +341,12 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
     """Plain-wavefront variant (one sample per slot per wave): fn(key) ->
     (H, W, 3) sum of k samples per pixel.  Kept as the semantic reference;
     the pool integrator is the fast path."""
+    if camera.sampler != "uniform":
+        raise ValueError(
+            "mode='wave' draws camera samples by lane position, not by "
+            "(pixel, sample index), so low-discrepancy samplers do not "
+            "apply; use the pool or queue mode with --sampler "
+            f"{camera.sampler!r}")
     xs, ys = _pixel_grid(width, height, k)
 
     def wave(key):

@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "quirks (Unhittable light mixture for no-light scenes, "
                         "isotropic cos/pi medium weighting) instead of the "
                         "documented fixes in ops/scatter.py")
+    p.add_argument("--sampler", default="uniform",
+                   choices=("uniform", "sobol"),
+                   help="image-plane sample generator: 'uniform' is the "
+                        "reference's per-sample jitter; 'sobol' stratifies "
+                        "each pixel's samples with a scrambled "
+                        "(0,2)-sequence (core/qmc.py) - same cost, lower "
+                        "variance, a different (still unbiased) estimator")
     p.add_argument("--rr-depth", type=int, default=0, metavar="N",
                    help="Russian-roulette path termination after N bounces "
                         "(0 = off, the reference's semantics; unbiased - a "
@@ -164,6 +171,8 @@ def main(argv=None) -> int:
     if args.estimator == "reference":
         scene = scene.replace(strict=True)
     camera = spec.camera(args.width, args.height)
+    if args.sampler != "uniform":
+        camera = camera.replace(sampler=args.sampler)
 
     mesh = None
     if args.devices:
