@@ -76,3 +76,17 @@ def test_cli_supervise_gives_up():
     )
     assert r.returncode == 1
     assert "giving up" in r.stderr
+
+
+def test_cli_sampler_flag():
+    """--sampler sobol is a different (still valid) estimator: the PPM is
+    well-formed and differs from the default uniform-jitter render."""
+    common = ("--scene", "two-spheres", "--width", "12", "--height", "8",
+              "--spp", "4", "--max-depth", "3")
+    u = _run(*common)
+    q = _run(*common, "--sampler", "sobol")
+    assert q.returncode == 0, q.stderr[-500:]
+    words = q.stdout.split()
+    assert words[:4] == ["P3", "12", "8", "255"]
+    assert len(words) == 12 * 8 * 3 + 4
+    assert q.stdout != u.stdout
