@@ -13,11 +13,14 @@ pallas_call with a kernel specialized to that kind.  This replaces round 1's
 single uniform kernel, which computed sphere AND quad math for every
 128-prim block; per-kind launches run only the math each block needs, with
 no per-block branching inside the kernel.  (Round 1 tried ``pl.when``-
-guarded per-block specialization inside one uniform kernel; renders with it
-crashed the remote TPU worker, but bisection later attributed those crashes
-to environment flakiness at >150k-lane dispatches, not to the branching -
-see commit cca284e.  Kind-sorted ranges made the question moot: per-kind
-launches get the same math savings with zero in-kernel branching.)
+guarded per-block specialization inside one uniform kernel; that variant
+faulted the real TPU worker while interpret mode passed - a Mosaic issue
+never root-caused; the repro was tools/repro_specialize.py, removed in
+commit c8830a6.  Do NOT reintroduce per-block pl.when specialization
+without re-validating on hardware.  The unrelated big-scene environment
+flakiness at >150k-lane dispatches is documented separately in PERFLOG.md.
+Kind-sorted ranges made the question moot: per-kind launches get the same
+math savings with zero in-kernel branching.)
 
 Constant media need per-ray RNG and are intersected by the XLA path and
 min-combined in ops/intersect.intersect_scene(engine="pallas").
