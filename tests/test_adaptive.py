@@ -208,7 +208,7 @@ def test_adaptive_pool_matches_queue_statistically():
 
 def test_adaptive_via_render_api():
     """renderer.render(adaptive=TOL) dispatches to the adaptive driver and
-    returns the usual (H, W, 3) mean image; a mesh is rejected."""
+    returns the usual (H, W, 3) mean image."""
     sc = SCENES["two-spheres"].build()
     W, H = 10, 8
     cam = SCENES["two-spheres"].camera(W, H)
@@ -219,7 +219,70 @@ def test_adaptive_via_render_api():
     ref = np.asarray(render(sc, cam, W, H, spp=64, max_depth=8, seed=4))
     np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.1)
 
+
+def test_adaptive_worklist_round_mesh_matches_single_device():
+    """One worklist round sharded over the mesh returns the same per-pixel
+    (sums, square sums) as the single-device queue: per-item draws are
+    keyed by global work ids (integrator work_id0), so only the final
+    psum's f32 summation order differs."""
+    import jax
+
+    from tpu_ray.adaptive import WL_QUANT, _build_worklist
+    from tpu_ray.integrator import trace_queue, trace_queue_wl_mesh
     from tpu_ray.parallel.mesh import make_mesh
 
-    with pytest.raises(ValueError):
-        render(sc, cam, W, H, spp=8, adaptive=0.05, mesh=make_mesh(8))
+    sc = SCENES["cornell"].build()
+    W = H = 8
+    cam = SCENES["cornell"].camera(W, H)
+    P = W * H
+    rng = np.random.RandomState(3)
+    extra = rng.randint(0, 4, P).astype(np.int64) * WL_QUANT
+    extra[:4] = 2 * WL_QUANT  # a few guaranteed-live pixels
+    n0 = np.zeros(P, np.int64)
+    wl_np, bp_np = _build_worklist(extra, n0)
+    n_work = int(extra.sum())
+    D = 8
+    pad = -(-n_work // (D * WL_QUANT)) * (D * WL_QUANT)
+    wl = jnp.asarray(np.pad(wl_np, (0, pad - n_work)))
+    bp = jnp.asarray(np.pad(bp_np, (0, pad // WL_QUANT - bp_np.size),
+                            constant_values=P))
+    key = jax.random.PRNGKey(9)
+    kw = dict(engine="xla", cam_salt=jnp.uint32(7), epoch_iters=16,
+              max_depth=6)
+    s1, q1 = trace_queue(sc, cam, W, H, 0, jnp.uint32(0), key,
+                         kw.pop("max_depth"), 1024, engine=kw["engine"],
+                         cam_salt=kw["cam_salt"],
+                         epoch_iters=kw["epoch_iters"], worklist=wl,
+                         n_work=n_work, wl_block_pix=bp)
+    s2, q2 = trace_queue_wl_mesh(sc, cam, W, H, jnp.uint32(0), key, 6,
+                                 1024, make_mesh(D), wl, n_work, bp,
+                                 engine="xla", cam_salt=jnp.uint32(7),
+                                 epoch_iters=16)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_render_on_mesh():
+    """--adaptive over a mesh end-to-end: per-item draws are identical to
+    the single-device QUEUE backend, so round statistics, allocations and
+    the final image agree up to reduction order (meshes always use the
+    queue backend - the worklist is the sharding unit)."""
+    from tpu_ray.adaptive import render_adaptive
+    from tpu_ray.parallel.mesh import make_mesh
+
+    sc = SCENES["two-spheres"].build()
+    W, H = 10, 8
+    cam = SCENES["two-spheres"].camera(W, H)
+    kw = dict(spp_max=64, tol=0.03, max_depth=8, seed=4, return_spp=True)
+    a, n_a = render_adaptive(sc, cam, W, H, mode="queue", **kw)
+    b, n_b = render_adaptive(sc, cam, W, H, mesh=make_mesh(8), **kw)
+    np.testing.assert_array_equal(n_b, n_a)  # same allocations per round
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
+    # the public API routes adaptive+mesh here
+    c = render(sc, cam, W, H, spp=64, adaptive=0.03, max_depth=8, seed=4,
+               mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)

@@ -290,7 +290,8 @@ def test_auto_checkpoint_survives_crash(monkeypatch, capsys):
     monkeypatch.setattr(R, "AUTO_CHECKPOINT_WAVES", 2)
     img_full = render(scene, cam, 8, 8, spp=8, **kw)  # 8 waves, auto-ckpt
 
-    real_step = R._pool_step
+    # _film_add runs once per wave on the staged pool path
+    real_step = R._film_add
     calls = {"n": 0}
 
     def crashing_step(*a, **k):
@@ -299,10 +300,10 @@ def test_auto_checkpoint_survives_crash(monkeypatch, capsys):
             raise RuntimeError("simulated TPU worker crash")
         return real_step(*a, **k)
 
-    monkeypatch.setattr(R, "_pool_step", crashing_step)
+    monkeypatch.setattr(R, "_film_add", crashing_step)
     with pytest.raises(RuntimeError):
         render(scene, cam, 8, 8, spp=8, **kw)
-    monkeypatch.setattr(R, "_pool_step", real_step)
+    monkeypatch.setattr(R, "_film_add", real_step)
 
     # the auto checkpoint from the crashed run must resume, not restart
     img_resumed = render(scene, cam, 8, 8, spp=8, progress=True, **kw)

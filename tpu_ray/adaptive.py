@@ -38,7 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .integrator import WL_SAMP_BITS, WL_SAMP_MASK, trace_queue
+from .integrator import (WL_SAMP_BITS, WL_SAMP_MASK, trace_queue,
+                         trace_queue_wl_mesh)
 
 # tone-map-space error floor: pixels darker than FLOOR**2 in linear RGB
 # are judged against FLOOR (err = sigma / (2*FLOOR)) so black pixels
@@ -172,9 +173,17 @@ def render_adaptive(
     rr_depth: int = 0,
     progress: bool = False,
     return_spp: bool = False,
+    mesh=None,
 ):
     """Render with per-pixel adaptive sampling; returns the (H, W, 3) mean
     image (and the (H, W) per-pixel sample-count map if ``return_spp``).
+
+    With ``mesh``, every round's worklist shards contiguously over the
+    devices (integrator.trace_queue_wl_mesh): per-item draws are keyed by
+    global work ids, so the round statistics - and therefore the adaptive
+    allocations - match the single-device run up to the one psum's f32
+    summation order.  Meshes always use the queue backend (the worklist
+    IS the sharding unit).
 
     Every pixel receives between ``pilot_spp`` and ``spp_max`` samples;
     sampling stops per pixel once the standard error of its tone-mapped
@@ -201,7 +210,9 @@ def render_adaptive(
         raise ValueError(
             f"adaptive sampling supports spp <= {WL_SAMP_MASK}")
     engine = resolve_engine(scene, engine)
-    if mode == "auto":
+    if mesh is not None:
+        mode = "queue"
+    elif mode == "auto":
         mode = resolve_mode(scene, "auto", engine=engine, spp=spp_max)
     kw = dict(spp_max=spp_max, tol=tol, max_depth=max_depth, seed=seed,
               rays_per_wave=rays_per_wave, engine=engine, shade=shade,
@@ -210,18 +221,21 @@ def render_adaptive(
               return_spp=return_spp)
     if mode == "pool":
         return _render_adaptive_pool(scene, camera, width, height, **kw)
-    return _render_adaptive_queue(scene, camera, width, height, **kw)
+    return _render_adaptive_queue(scene, camera, width, height, mesh=mesh,
+                                  **kw)
 
 
 def _render_adaptive_queue(
     scene, camera, width, height, *, spp_max, tol, max_depth, seed,
     rays_per_wave, engine, shade, pilot_spp, round_cap, max_rounds,
-    rr_depth, progress, return_spp,
+    rr_depth, progress, return_spp, mesh=None,
 ):
     """Worklist rounds on the work-queue integrator (see render_adaptive)."""
     from .renderer import plan_queue
 
     P = width * height
+    D = int(mesh.devices.size) if mesh is not None else 1
+    pad_unit = D * WL_QUANT  # per-device shards stay WL_QUANT-aligned
     # align every budget knob to WL_QUANT blocks (the blocked reduction's
     # unit); spp_max rounds DOWN (a budget cap), the others up
     spp_max = max(WL_QUANT, spp_max // WL_QUANT * WL_QUANT)
@@ -246,23 +260,32 @@ def _render_adaptive_queue(
         t_round = _time.perf_counter()
         n_work = int(extra.sum())
         n_pix = int((extra > 0).sum())
-        floor = max(n_work, R, WL_QUANT)
+        floor = max(n_work, R * D, pad_unit)
         pad = next((p for p in PAD_LADDER if p >= floor),
                    -(-floor // WL_QUANT) * WL_QUANT)
+        pad = -(-pad // pad_unit) * pad_unit
         k_pad = next((p for p in PAD_LADDER if p >= n_pix), n_pix)
         wl, bp = _expand_worklist(
             *map(jnp.asarray, _compact_alloc(extra, n, k_pad)),
             pad // WL_QUANT, P)
-        sums, sqs = trace_queue(
-            scene, camera, width, height, 0, jnp.uint32(work_s0),
-            jax.random.fold_in(key, rnd), max_depth, R, engine=engine,
-            shade=shade, cam_salt=jnp.uint32(seed),
-            epoch_iters=epoch_iters,
-            # log rows keyed to the BUCKET, not n_work, so every round in
-            # a bucket reuses one executable set
-            log_rows=min(6 * pad, 160_000_000),
-            rr_depth=rr_depth, worklist=wl, n_work=n_work,
-            wl_block_pix=bp)
+        # log rows keyed to the BUCKET, not n_work, so every round in a
+        # bucket reuses one executable set
+        log_rows = min(6 * pad // D, 160_000_000)
+        if mesh is not None:
+            sums, sqs = trace_queue_wl_mesh(
+                scene, camera, width, height, jnp.uint32(work_s0),
+                jax.random.fold_in(key, rnd), max_depth, R, mesh,
+                wl, n_work, bp, engine=engine, shade=shade,
+                cam_salt=jnp.uint32(seed), epoch_iters=epoch_iters,
+                log_rows=log_rows, rr_depth=rr_depth)
+        else:
+            sums, sqs = trace_queue(
+                scene, camera, width, height, 0, jnp.uint32(work_s0),
+                jax.random.fold_in(key, rnd), max_depth, R, engine=engine,
+                shade=shade, cam_salt=jnp.uint32(seed),
+                epoch_iters=epoch_iters, log_rows=log_rows,
+                rr_depth=rr_depth, worklist=wl, n_work=n_work,
+                wl_block_pix=bp)
         both = np.asarray(jnp.stack((sums, sqs)), np.float64)  # 1 transfer
         s += both[0]
         s2 += both[1]

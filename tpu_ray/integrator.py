@@ -178,6 +178,152 @@ class _PoolState(NamedTuple):
     accum: jnp.ndarray        # (R, 3) radiance summed over completed samples
 
 
+def _init_pool_state(count: int) -> _PoolState:
+    return _PoolState(
+        iteration=jnp.int32(0),
+        origin=jnp.zeros((count, 3), jnp.float32),
+        direction=jnp.zeros((count, 3), jnp.float32),
+        time=jnp.zeros((count,), jnp.float32),
+        throughput=jnp.ones((count, 3), jnp.float32),
+        bounce=jnp.zeros((count,), jnp.int32),
+        sample=jnp.zeros((count,), jnp.int32),
+        active=jnp.zeros((count,), bool),
+        accum=jnp.zeros((count, 3), jnp.float32),
+    )
+
+
+def _pool_levels(R: int, n_prims: int):
+    """Compaction-ladder pool sizes for an R-lane pool (COMPACT_* note)."""
+    if n_prims > COMPACT_TINY_PRIMS:
+        frac, floor = COMPACT_FRACTION, COMPACT_FLOOR
+    else:
+        frac, floor = COMPACT_FRACTION_TINY, COMPACT_FLOOR_TINY
+    levels = []
+    m = R
+    while R >= COMPACT_MIN and m // frac >= floor:
+        m = m // frac
+        levels.append(m)
+    return levels
+
+
+def _make_pool_loop(scene, camera, k_loop, n_samples, sample0, cam_salt,
+                    inv_w, inv_h, max_depth, engine, fused, rr_depth, bvh,
+                    s_loc, t_loc, slot_ids_loc):
+    """(regen, body) closures over a (possibly compacted) slot subset.
+
+    Shared by trace_pool's in-jit ladder (the mesh path traces the whole
+    ladder inside one shard_map program) and the staged per-executable
+    ladder (trace_pool_staged) - one definition guarantees both paths draw
+    identical streams and produce bit-identical radiance."""
+    isect = _make_isect(scene, bvh, engine)
+    if fused:
+        from .ops.intersect import intersect_ti
+        from .ops.shade_pallas import pool_step_pallas
+
+    def regen(state: _PoolState, just_died) -> _PoolState:
+        want = just_died & (state.sample < n_samples)
+        # per-(slot, global sample) camera uniforms: jitter x/y, lens,
+        # time, from a 2-word counter hash over (global slot id,
+        # global sample index) - no packing into one word, so no
+        # wrap collisions at any render size
+        u5 = rng_mod.hash_uniforms2(
+            slot_ids_loc,
+            (sample0 + state.sample.astype(jnp.uint32)) ^ cam_salt,
+            5,
+        )
+        jx, jy = u5[:, 0], u5[:, 1]
+        u3 = u5[:, 2:5]
+        if camera.sampler == "sobol":
+            # low-discrepancy camera sample (core/qmc.py): scrambled
+            # Sobol' dims 1-2 on the pixel, 3-5 on lens disk + time
+            gs = sample0 + state.sample.astype(jnp.uint32)
+            jx, jy = qmc.pixel_uniforms(slot_ids_loc, gs, cam_salt)
+            u3 = jnp.stack(
+                qmc.lens_time_uniforms(slot_ids_loc, gs, cam_salt), axis=-1)
+        ro, rd, rt = camera.rays_from_uniforms(
+            s_loc + jx * inv_w, t_loc + jy * inv_h, u3
+        )
+        return state._replace(
+            origin=vec.where3(want, ro, state.origin),
+            direction=vec.where3(want, rd, state.direction),
+            time=jnp.where(want, rt, state.time),
+            throughput=vec.where3(
+                want, jnp.ones_like(state.throughput), state.throughput
+            ),
+            bounce=jnp.where(want, 0, state.bounce),
+            sample=jnp.where(want, state.sample + 1, state.sample),
+            active=(state.active & ~just_died) | want,
+        )
+
+    def body(st: _PoolState) -> _PoolState:
+        kb = jax.random.fold_in(k_loop, st.iteration)
+        if fused:
+            # same two key streams, same draws - ONE Pallas kernel for
+            # record + textures + scatter + accumulation + state update
+            # + camera regen (ops/shade_pallas.py::pool_step_pallas)
+            bt, bi = intersect_ti(
+                scene, st.origin, st.direction, st.time,
+                jax.random.fold_in(kb, 0), engine=engine,
+                lane_ids=slot_ids_loc)
+            (o2, d2, tm2, tp2, ac2, bo2, sa2, av2) = pool_step_pallas(
+                scene, camera, s_loc, t_loc, slot_ids_loc,
+                st.origin, st.direction, st.time, st.throughput,
+                st.accum, st.bounce, st.sample, st.active, bt, bi,
+                jax.random.fold_in(kb, 1), n_samples, sample0,
+                cam_salt, (inv_w, inv_h), max_depth,
+                rr_depth=rr_depth)
+            return _PoolState(
+                iteration=st.iteration + 1, origin=o2, direction=d2,
+                time=tm2, throughput=tp2, bounce=bo2, sample=sa2,
+                active=av2, accum=ac2)
+        k_sc = jax.random.fold_in(kb, 1)
+        rec = isect(st.origin, st.direction, st.time,
+                    jax.random.fold_in(kb, 0), slot_ids_loc)
+        sc = scatter(scene, k_sc, st.direction, rec, slot_ids_loc)
+
+        miss = st.active & ~rec.hit
+        emit = st.active & rec.hit & ~sc.scattered
+        cont = st.active & rec.hit & sc.scattered
+
+        accum = st.accum + vec.where3(
+            miss, st.throughput * scene.background, jnp.zeros_like(st.accum)
+        )
+        accum = accum + vec.where3(
+            emit, st.throughput * sc.emitted, jnp.zeros_like(accum)
+        )
+        throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
+        bounce = jnp.where(cont, st.bounce + 1, st.bounce)
+        kill = jnp.zeros_like(cont)
+        if rr_depth:
+            p = jnp.clip(jnp.max(st.throughput, axis=-1), RR_PMIN, 1.0)
+            do_rr = cont & (st.bounce >= rr_depth)
+            kill = do_rr & (rng_mod.lane_uniform_col(
+                k_sc, slot_ids_loc, RR_COL) >= p)
+            throughput = vec.where3(do_rr & ~kill,
+                                    throughput / p[:, None], throughput)
+        # a path also dies on depth exhaustion (contributes nothing,
+        # src/Lib.hs:1303-1304), zero throughput, or a roulette kill
+        dead_now = st.active & (
+            miss | emit | kill
+            | (cont & (bounce >= max_depth))
+            | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
+        )
+        st2 = _PoolState(
+            iteration=st.iteration + 1,
+            origin=vec.where3(cont, rec.point, st.origin),
+            direction=vec.where3(cont, sc.direction, st.direction),
+            time=st.time,
+            throughput=throughput,
+            bounce=bounce,
+            sample=st.sample,
+            active=st.active,
+            accum=accum,
+        )
+        return regen(st2, dead_now)
+
+    return regen, body
+
+
 def trace_pool(
     scene: SceneData,
     camera,
@@ -235,13 +381,8 @@ def trace_pool(
                                n_samples, sample0, max_depth, cam_salt,
                                slot_ids=slot_ids, rr_depth=rr_depth)
     n_samples = jnp.asarray(n_samples, jnp.int32)
-    isect = _make_isect(scene, bvh, engine)
     fused = (_use_fused_shading(scene, bvh, engine) if shade is None
              else shade == "fused")
-    if fused:
-        from .ops.intersect import intersect_ti
-        from .ops.shade_pallas import pool_step_pallas
-    k_loop = key
     if slot_ids is None:
         slot_ids = jnp.arange(R, dtype=jnp.uint32)
     slot_ids = jnp.asarray(slot_ids, jnp.uint32)
@@ -249,125 +390,14 @@ def trace_pool(
     inv_w, inv_h = inv_wh
 
     def make_loop(s_loc, t_loc, slot_ids_loc):
-        """Body/regen over a (possibly compacted) slot subset."""
-
-        def regen(state: _PoolState, just_died) -> _PoolState:
-            want = just_died & (state.sample < n_samples)
-            # per-(slot, global sample) camera uniforms: jitter x/y, lens,
-            # time, from a 2-word counter hash over (global slot id,
-            # global sample index) - no packing into one word, so no
-            # wrap collisions at any render size
-            u5 = rng_mod.hash_uniforms2(
-                slot_ids_loc,
-                (sample0 + state.sample.astype(jnp.uint32)) ^ cam_salt,
-                5,
-            )
-            jx, jy = u5[:, 0], u5[:, 1]
-            if camera.sampler == "sobol":
-                # low-discrepancy pixel jitter (core/qmc.py); lens/time
-                # stay on the hash columns
-                jx, jy = qmc.pixel_uniforms(
-                    slot_ids_loc, sample0 + state.sample.astype(jnp.uint32),
-                    cam_salt)
-            ro, rd, rt = camera.rays_from_uniforms(
-                s_loc + jx * inv_w, t_loc + jy * inv_h, u5[:, 2:5]
-            )
-            return state._replace(
-                origin=vec.where3(want, ro, state.origin),
-                direction=vec.where3(want, rd, state.direction),
-                time=jnp.where(want, rt, state.time),
-                throughput=vec.where3(
-                    want, jnp.ones_like(state.throughput), state.throughput
-                ),
-                bounce=jnp.where(want, 0, state.bounce),
-                sample=jnp.where(want, state.sample + 1, state.sample),
-                active=(state.active & ~just_died) | want,
-            )
-
-        def body(st: _PoolState) -> _PoolState:
-            kb = jax.random.fold_in(k_loop, st.iteration)
-            if fused:
-                # same two key streams, same draws - ONE Pallas kernel for
-                # record + textures + scatter + accumulation + state update
-                # + camera regen (ops/shade_pallas.py::pool_step_pallas)
-                bt, bi = intersect_ti(
-                    scene, st.origin, st.direction, st.time,
-                    jax.random.fold_in(kb, 0), engine=engine,
-                    lane_ids=slot_ids_loc)
-                (o2, d2, tm2, tp2, ac2, bo2, sa2, av2) = pool_step_pallas(
-                    scene, camera, s_loc, t_loc, slot_ids_loc,
-                    st.origin, st.direction, st.time, st.throughput,
-                    st.accum, st.bounce, st.sample, st.active, bt, bi,
-                    jax.random.fold_in(kb, 1), n_samples, sample0,
-                    cam_salt, (inv_w, inv_h), max_depth,
-                    rr_depth=rr_depth)
-                return _PoolState(
-                    iteration=st.iteration + 1, origin=o2, direction=d2,
-                    time=tm2, throughput=tp2, bounce=bo2, sample=sa2,
-                    active=av2, accum=ac2)
-            k_sc = jax.random.fold_in(kb, 1)
-            rec = isect(st.origin, st.direction, st.time,
-                        jax.random.fold_in(kb, 0), slot_ids_loc)
-            sc = scatter(scene, k_sc, st.direction, rec, slot_ids_loc)
-
-            miss = st.active & ~rec.hit
-            emit = st.active & rec.hit & ~sc.scattered
-            cont = st.active & rec.hit & sc.scattered
-
-            accum = st.accum + vec.where3(
-                miss, st.throughput * scene.background, jnp.zeros_like(st.accum)
-            )
-            accum = accum + vec.where3(
-                emit, st.throughput * sc.emitted, jnp.zeros_like(accum)
-            )
-            throughput = vec.where3(cont, st.throughput * sc.weight, st.throughput)
-            bounce = jnp.where(cont, st.bounce + 1, st.bounce)
-            kill = jnp.zeros_like(cont)
-            if rr_depth:
-                p = jnp.clip(jnp.max(st.throughput, axis=-1), RR_PMIN, 1.0)
-                do_rr = cont & (st.bounce >= rr_depth)
-                kill = do_rr & (rng_mod.lane_uniform_col(
-                    k_sc, slot_ids_loc, RR_COL) >= p)
-                throughput = vec.where3(do_rr & ~kill,
-                                        throughput / p[:, None], throughput)
-            # a path also dies on depth exhaustion (contributes nothing,
-            # src/Lib.hs:1303-1304), zero throughput, or a roulette kill
-            dead_now = st.active & (
-                miss | emit | kill
-                | (cont & (bounce >= max_depth))
-                | (cont & (jnp.max(throughput, axis=-1) <= 0.0))
-            )
-            st2 = _PoolState(
-                iteration=st.iteration + 1,
-                origin=vec.where3(cont, rec.point, st.origin),
-                direction=vec.where3(cont, sc.direction, st.direction),
-                time=st.time,
-                throughput=throughput,
-                bounce=bounce,
-                sample=st.sample,
-                active=st.active,
-                accum=accum,
-            )
-            return regen(st2, dead_now)
-
-        return regen, body
-
-    def init_state(count):
-        return _PoolState(
-            iteration=jnp.int32(0),
-            origin=jnp.zeros((count, 3), jnp.float32),
-            direction=jnp.zeros((count, 3), jnp.float32),
-            time=jnp.zeros((count,), jnp.float32),
-            throughput=jnp.ones((count, 3), jnp.float32),
-            bounce=jnp.zeros((count,), jnp.int32),
-            sample=jnp.zeros((count,), jnp.int32),
-            active=jnp.zeros((count,), bool),
-            accum=jnp.zeros((count, 3), jnp.float32),
-        )
+        return _make_pool_loop(
+            scene, camera, key, n_samples, sample0, cam_salt, inv_w, inv_h,
+            max_depth, engine, fused, rr_depth, bvh, s_loc, t_loc,
+            slot_ids_loc)
 
     iter_cap = n_samples * max_depth + max_depth
     regen, body = make_loop(s, t, slot_ids)
-    state = regen(init_state(R), jnp.ones((R,), bool))
+    state = regen(_init_pool_state(R), jnp.ones((R,), bool))
 
     def run_until(body_fn, st, threshold):
         """Advance the loop while more than ``threshold`` slots are active."""
@@ -381,15 +411,7 @@ def trace_pool(
     # ladder level (slots exhausted their samples while deeper paths
     # remain), gather the survivors into a pool of that size and continue.
     # Ladder shape per scene weight - see the COMPACT_* note above.
-    if scene.n_prims > COMPACT_TINY_PRIMS:
-        frac, floor = COMPACT_FRACTION, COMPACT_FLOOR
-    else:
-        frac, floor = COMPACT_FRACTION_TINY, COMPACT_FLOOR_TINY
-    levels = []
-    m = R
-    while R >= COMPACT_MIN and m // frac >= floor:
-        m = m // frac
-        levels.append(m)
+    levels = _pool_levels(R, scene.n_prims)
 
     if not levels:
         final = run_until(body, state, 0)
@@ -423,6 +445,149 @@ def trace_pool(
         sample = sample.at[gids].set(st.sample)
     return accum, sample
 
+
+# ---------------------------------------------------------------------------
+# Staged pool: the ladder as separate executables
+# ---------------------------------------------------------------------------
+#
+# trace_pool traces its whole compaction ladder into ONE program, so a
+# 4-level render compiles every level's full body (fused shade kernel +
+# sweep + argsort) inside a single server-side XLA compile - measured ~4x
+# the single-body compile on the remote worker (tools/r3/
+# measure_cold_ablate.py: cornell 624 s with the ladder vs 148 s without,
+# while the ladder is worth 2x at render time: 3.8 vs 7.8 s/1000spp).
+# Here each ladder stage runs as its OWN executable: cold start pays one
+# R-sized body plus near-free smaller bodies (subsequent same-kernel
+# compiles measured 4-8 s, tools/r3/measure_parallel_compile.py), warm
+# starts load smaller per-stage cache entries, and the driver dispatches
+# every stage eagerly with no host reads (an already-drained stage's
+# while_loop cond is false on entry - a bit-exact identity).
+#
+# Draws are identical to trace_pool's by construction (_make_pool_loop is
+# shared and the iteration counter rides in the carried state), so staged
+# and staged renders agree to fp-fusion level (sample counts bit-equal;
+# tests/test_pool.py) - the same difference class as the engine variants.
+
+from functools import partial as _pl_partial
+
+
+@_pl_partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15))
+def _pool_stage_first(scene, camera, s, t, slot_ids, key, n_samples,
+                      sample0, cam_salt, threshold, inv_w, inv_h, max_depth,
+                      engine, fused, rr_depth, bvh=None):
+    """Init + regen + run the full-R pool until <= threshold slots live."""
+    R = s.shape[0]
+    regen, body = _make_pool_loop(scene, camera, key, n_samples, sample0,
+                                  cam_salt, inv_w, inv_h, max_depth, engine,
+                                  fused, rr_depth, bvh, s, t, slot_ids)
+    st = regen(_init_pool_state(R), jnp.ones((R,), bool))
+    iter_cap = n_samples * max_depth + max_depth
+    return jax.lax.while_loop(
+        lambda q: (jnp.sum(q.active, dtype=jnp.int32) > threshold)
+        & (q.iteration < iter_cap), body, st)
+
+
+@_pl_partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16),
+             donate_argnums=(0,))
+def _pool_stage(st, scene, camera, s, t, slot_ids, key, n_samples, sample0,
+                cam_salt, threshold, inv_w, inv_h, max_depth, engine, fused,
+                rr_depth, bvh=None):
+    """Continue a (compacted) pool until <= threshold slots live."""
+    _, body = _make_pool_loop(scene, camera, key, n_samples, sample0,
+                              cam_salt, inv_w, inv_h, max_depth, engine,
+                              fused, rr_depth, bvh, s, t, slot_ids)
+    iter_cap = n_samples * max_depth + max_depth
+    return jax.lax.while_loop(
+        lambda q: (jnp.sum(q.active, dtype=jnp.int32) > threshold)
+        & (q.iteration < iter_cap), body, st)
+
+
+@_pl_partial(jax.jit, static_argnums=(5,))
+def _pool_compact(st, gids, s_full, t_full, sid_full, m):
+    """Gather the m most-active slots (trace_pool's argsort take); returns
+    the compacted stage state (accum zeroed - stage results are folded
+    back by _pool_fold) plus the stage's film coords and slot ids."""
+    order = jnp.argsort(~st.active, stable=True)[:m]
+    g2 = gids[order]
+    take = lambda a: a[order]
+    stage = _PoolState(
+        iteration=st.iteration,
+        origin=take(st.origin),
+        direction=take(st.direction),
+        time=take(st.time),
+        throughput=take(st.throughput),
+        bounce=take(st.bounce),
+        sample=take(st.sample),
+        active=take(st.active),
+        accum=jnp.zeros((m, 3), jnp.float32),
+    )
+    return stage, g2, s_full[g2], t_full[g2], sid_full[g2]
+
+
+@_pl_partial(jax.jit, donate_argnums=(0, 1))
+def _pool_fold(accum, sample, gids, part_accum, part_sample):
+    return accum.at[gids].add(part_accum), sample.at[gids].set(part_sample)
+
+
+def trace_pool_staged(
+    scene: SceneData,
+    camera,
+    s: jnp.ndarray,
+    t: jnp.ndarray,
+    inv_wh: tuple,
+    key,
+    n_samples,
+    sample0,
+    max_depth: int,
+    cam_salt=jnp.uint32(0),
+    bvh=None,
+    engine: str = "xla",
+    slot_ids=None,
+    rr_depth: int = 0,
+    shade: Optional[str] = None,
+):
+    """trace_pool with the compaction ladder as separate executables
+    (module note above); same signature, same draws, values to fp-fusion
+    level (sample counts bit-equal).  The
+    production single-device pool path (renderer.render); the mesh path
+    keeps trace_pool (a shard_map body can't host a host-side loop)."""
+    R = s.shape[0]
+    if max_depth <= 0:
+        return (jnp.zeros((R, 3), jnp.float32),
+                jnp.full((R,), 1, jnp.int32) * n_samples)
+    if engine == "mega" and bvh is None:
+        return trace_pool(scene, camera, s, t, inv_wh, key, n_samples,
+                          sample0, max_depth, cam_salt, bvh=bvh,
+                          engine=engine, slot_ids=slot_ids,
+                          rr_depth=rr_depth, shade=shade)
+    n_samples = jnp.asarray(n_samples, jnp.int32)
+    fused = (_use_fused_shading(scene, bvh, engine) if shade is None
+             else shade == "fused")
+    if slot_ids is None:
+        slot_ids = jnp.arange(R, dtype=jnp.uint32)
+    slot_ids = jnp.asarray(slot_ids, jnp.uint32)
+    cam_salt = jnp.asarray(cam_salt, jnp.uint32)
+    sample0 = jnp.asarray(sample0, jnp.uint32)
+    inv_w, inv_h = float(inv_wh[0]), float(inv_wh[1])
+
+    levels = _pool_levels(R, scene.n_prims)
+    thr0 = jnp.int32(levels[0] if levels else 0)
+    st = _pool_stage_first(scene, camera, s, t, slot_ids, key, n_samples,
+                           sample0, cam_salt, thr0, inv_w, inv_h, max_depth,
+                           engine, fused, rr_depth, bvh)
+    if not levels:
+        return st.accum, st.sample
+    accum, sample = st.accum, st.sample
+    gids = jnp.arange(R, dtype=jnp.int32)
+    for li, m in enumerate(levels):
+        st, gids, s_m, t_m, sid_m = _pool_compact(st, gids, s, t, slot_ids,
+                                                  m)
+        nxt = jnp.int32(levels[li + 1] if li + 1 < len(levels) else 0)
+        st = _pool_stage(st, scene, camera, s_m, t_m, sid_m, key, n_samples,
+                         sample0, cam_salt, nxt, inv_w, inv_h, max_depth,
+                         engine, fused, rr_depth, bvh)
+        accum, sample = _pool_fold(accum, sample, gids, st.accum, st.sample)
+    return accum, sample
 
 
 # ---------------------------------------------------------------------------
@@ -499,7 +664,8 @@ WL_SAMP_MASK = (1 << WL_SAMP_BITS) - 1
 
 def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
                 chunk_s0, total, *, m, width, height, engine, fused,
-                max_depth, rr_depth=0, ablate="", worklist=None):
+                max_depth, rr_depth=0, ablate="", worklist=None,
+                work_id0=None):
     """One queue iteration: trace + shade + flush dead + inject fresh.
 
     ``worklist`` (optional (Wl,) uint32, Wl >= total) overrides the
@@ -514,8 +680,11 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
     replaces the frontier ranks with an iota, "noinject" skips injection
     entirely.  Production passes "" everywhere."""
     # draw ids use the GLOBAL work item (chunk base + chunk-local id) so
-    # sample chunking is invisible to the path-space streams
-    work_base = chunk_s0 * jnp.uint32(width * height)
+    # sample chunking is invisible to the path-space streams; a mesh shard
+    # passes its own ``work_id0`` so every device keys the same global ids
+    # a single-device run would (trace_queue_wl_mesh)
+    work_base = (chunk_s0 * jnp.uint32(width * height)
+                 if work_id0 is None else work_id0)
     sid = rng_mod.path_ids(st.work.astype(jnp.uint32) + work_base, st.bounce)
     if fused:
         from .ops.intersect import intersect_ti
@@ -620,15 +789,18 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
         u5 = rng_mod.hash_uniforms2(
             pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
         jx, jy = u5[:, 0], u5[:, 1]
+        u3 = u5[:, 2:5]
         if camera.sampler == "sobol":
             # keyed (slot=pixel, PLAIN gsample) exactly like trace_pool's
             # regen: the camera stream is schedule-independent here too
             jx, jy = qmc.pixel_uniforms(
                 pix.astype(jnp.uint32), gsample, cam_salt)
+            u3 = jnp.stack(qmc.lens_time_uniforms(
+                pix.astype(jnp.uint32), gsample, cam_salt), axis=-1)
         sx = ((pix % width).astype(jnp.float32) + jx) * (1.0 / width)
         sy = ((height - 1 - pix // width).astype(jnp.float32)
               + jy) * (1.0 / height)
-        ro, rd, rt = camera.rays_from_uniforms(sx, sy, u5[:, 2:5])
+        ro, rd, rt = camera.rays_from_uniforms(sx, sy, u3)
     return _QueueState(
         iteration=st.iteration + 1,
         frontier=jnp.minimum(
@@ -651,7 +823,7 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
 def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
                       cam_salt, chunk_s0, total, m, iters, threshold,
                       width, height, engine, fused, max_depth, rr_depth=0,
-                      ablate="", worklist=None):
+                      ablate="", worklist=None, work_id0=None):
     """Up to ``iters`` queue iterations on an ``m``-lane pool; exits early
     once the frontier is spent and at most ``threshold`` lanes remain
     active.  Pure function: jitted below for the single-device path and
@@ -679,7 +851,8 @@ def _queue_epoch_impl(st: _QueueState, scene, camera, k_isect, k_scat,
                            chunk_s0, total, m=m, width=width,
                            height=height, engine=engine, fused=fused,
                            max_depth=max_depth, rr_depth=rr_depth,
-                           ablate=ablate, worklist=worklist)
+                           ablate=ablate, worklist=worklist,
+                           work_id0=work_id0)
 
     return jax.lax.while_loop(cond, body, st._replace(iteration=jnp.int32(0)))
 
@@ -1126,3 +1299,152 @@ def trace_queue_mesh(
         nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
         st = run(st, m, nxt)
     return _queue_finish_mesh(st, spp_d, P, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Worklist queue over a device mesh (adaptive sampling, tpu_ray/adaptive.py)
+# ---------------------------------------------------------------------------
+#
+# An adaptive round's worklist is a flat array of packed (pixel, sample)
+# items; sharding it over the mesh is a contiguous split (device d takes
+# items [d*wl_d, (d+1)*wl_d)).  Draw streams are keyed by the GLOBAL work
+# id via ``work_id0``, so every item's radiance is bit-identical to the
+# single-device round; only the final psum's f32 order differs.  Padding
+# entries (>= n_work) concentrate on the last devices and are never
+# dispatched - their frontier-exhaustion condition uses the per-device
+# real count clip(n_work - d*wl_d, 0, wl_d).
+
+@_partial(jax.jit, static_argnums=tuple(range(9, 20)), donate_argnums=0)
+def _queue_epoch_wl_mesh(st, scene, camera, k_isect, k_scat, cam_salt,
+                         chunk_s0, n_work, worklist, wl_d, m, iters,
+                         threshold, width, height, engine, fused, max_depth,
+                         rr_depth, mesh):
+    """One lockstep epoch over per-device worklist shards."""
+    axis = mesh.axis_names[0]
+
+    def dev(q, scene, camera, ki, ks, salt, cs0, nw, wl):
+        q = _dev_squeeze(q)
+        wl = jnp.squeeze(wl, 0)
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        total_d = jnp.clip(nw - d * wl_d, 0, wl_d)
+        wid0 = (cs0 * jnp.uint32(width * height)
+                + (d * wl_d).astype(jnp.uint32))
+        q = _queue_epoch_impl(q, scene, camera, ki, ks, salt, cs0, total_d,
+                              m, iters, threshold, width, height, engine,
+                              fused, max_depth, rr_depth, worklist=wl,
+                              work_id0=wid0)
+        return _dev_expand(q)
+
+    return jax.shard_map(
+        dev, mesh=mesh,
+        in_specs=(_PSpec(axis), _PSpec(), _PSpec(), _PSpec(), _PSpec(),
+                  _PSpec(), _PSpec(), _PSpec(), _PSpec(axis)),
+        out_specs=_PSpec(axis), check_vma=False,
+    )(st, scene, camera, k_isect, k_scat, cam_salt, chunk_s0, n_work,
+      worklist)
+
+
+@_partial(jax.jit, static_argnums=(2, 3), donate_argnums=0)
+def _queue_finish_wl_mesh(st, block_pix, P, mesh):
+    """Materialize each device's log, blocked-reduce its plane shard per
+    pixel, and psum the stacked (2, P, 3) [sums, square sums]."""
+    axis = mesh.axis_names[0]
+
+    def dev(q, bp):
+        q = _materialize(_dev_squeeze(q))
+        s, s2 = _worklist_sums_blocked(q.plane, jnp.squeeze(bp, 0), P)
+        return jax.lax.psum(jnp.stack((s, s2)), axis)
+
+    return jax.shard_map(dev, mesh=mesh,
+                         in_specs=(_PSpec(axis), _PSpec(axis)),
+                         out_specs=_PSpec(), check_vma=False)(st, block_pix)
+
+
+def trace_queue_wl_mesh(
+    scene: SceneData,
+    camera,
+    width: int,
+    height: int,
+    chunk_s0,                  # sample-unit offset for path-draw ids
+    key,
+    max_depth: int,
+    R: int,                    # pool lanes PER DEVICE
+    mesh,
+    worklist,                  # (Wl,) uint32 packed items; Wl % (D*Q) == 0
+    n_work: int,               # real items <= Wl (rest = bucket padding)
+    wl_block_pix,              # (Wl/WL_QUANT,) int32 per-block pixel ids
+    engine: str = "xla",
+    shade: Optional[str] = None,
+    cam_salt=jnp.uint32(0),
+    epoch_iters: int = 64,
+    log_rows: int = 0,
+    rr_depth: int = 0,
+):
+    """trace_queue(worklist=...) sharded over a device mesh: returns the
+    per-pixel ((P, 3) radiance sums, (P, 3) square sums) accumulated over
+    the dispatched items, equal to the single-device worklist round up to
+    the final psum's f32 summation order (per-item radiances are
+    bit-identical - ``work_id0`` keys the same global draw ids)."""
+    D = int(mesh.devices.size)
+    Wl = int(worklist.shape[0])
+    if Wl % D:
+        raise ValueError(f"worklist pad {Wl} not divisible by {D} devices")
+    wl_d = Wl // D
+    q_blk = Wl // int(wl_block_pix.shape[0])  # adaptive.WL_QUANT
+    if wl_d % q_blk:
+        raise ValueError(f"per-device shard {wl_d} not {q_blk}-block-aligned")
+    P = width * height
+    fused = (_use_fused_shading(scene, None, engine) if shade is None
+             else shade == "fused")
+    k_isect = jax.random.fold_in(key, 0)
+    k_scat = jax.random.fold_in(key, 1)
+    cam_salt = jnp.asarray(cam_salt, jnp.uint32)
+    chunk_s0 = jnp.asarray(chunk_s0, jnp.uint32)
+    n_work_t = jnp.int32(n_work)
+    R = max(1024, min(R, wl_d))
+
+    L = max(log_rows, R) if log_rows > 0 else max(
+        R, min(QUEUE_LOG_BYTES // 12, wl_d * QUEUE_LOG_AVG_PATH))
+    st = _QueueState(
+        iteration=jnp.zeros((D,), jnp.int32),
+        frontier=jnp.zeros((D,), jnp.int32),
+        origin=jnp.zeros((D, R, 3), jnp.float32),
+        direction=jnp.ones((D, R, 3), jnp.float32),
+        time=jnp.zeros((D, R), jnp.float32),
+        throughput=jnp.ones((D, R, 3), jnp.float32),
+        accum=jnp.zeros((D, R, 3), jnp.float32),
+        bounce=jnp.zeros((D, R), jnp.int32),
+        work=jnp.full((D, R), wl_d, jnp.int32),
+        active=jnp.zeros((D, R), bool),
+        plane=tuple(jnp.zeros((D, wl_d), jnp.float32) for _ in range(3)),
+        log=jnp.zeros((D, L, 3), jnp.float32),
+        posmap=jnp.full((D, wl_d), -1, jnp.int32),
+        cursor=jnp.zeros((D,), jnp.int32),
+    )
+    worklist = worklist.reshape(D, wl_d)
+    totals = np.clip(n_work - np.arange(D) * wl_d, 0, wl_d)
+
+    max_epochs = 21 + (wl_d // max(R, 1)
+                       + (wl_d // max(P, 1) + 2) * max_depth
+                       + 2 * max_depth) // max(epoch_iters, 1) * 4
+    pending = None
+    for _ in range(max_epochs):
+        st = _queue_epoch_wl_mesh(st, scene, camera, k_isect, k_scat,
+                                  cam_salt, chunk_s0, n_work_t, worklist,
+                                  wl_d, R, epoch_iters, 0, width, height,
+                                  engine, fused, max_depth, rr_depth, mesh)
+        cur = _queue_counters_mesh(st, mesh)
+        if pending is not None:
+            arr = np.asarray(pending)
+            if (arr[:, 0] >= totals).all() and (arr[:, 1] == 0).all():
+                break
+        pending = cur
+    else:
+        arr = np.asarray(pending)
+        if not ((arr[:, 0] >= totals).all() and (arr[:, 1] == 0).all()):
+            raise RuntimeError(
+                "trace_queue_wl_mesh: epoch cap exceeded "
+                f"(frontiers {arr[:, 0].tolist()}/{totals.tolist()}, "
+                f"active {arr[:, 1].tolist()})")
+    out = _queue_finish_wl_mesh(st, wl_block_pix.reshape(D, -1), P, mesh)
+    return out[0], out[1]

@@ -344,11 +344,13 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         u3 = _hash_col(base, 3)
         u4 = _hash_col(base, 4)
         if sampler == "sobol":
-            # scrambled (0,2)-sequence pixel jitter (core/qmc.py)
+            # scrambled Sobol' camera sample (core/qmc.py): dims 1-2 on
+            # the pixel, 3-5 on lens disk + shutter time
             from ..core import qmc
 
-            u0, u1 = qmc.pixel_uniforms(
-                slot, sample0 + sample.astype(jnp.uint32), cam_salt)
+            gs = sample0 + sample.astype(jnp.uint32)
+            u0, u1 = qmc.pixel_uniforms(slot, gs, cam_salt)
+            u2, u3, u4 = qmc.lens_time_uniforms(slot, gs, cam_salt)
         sx = xs + u0 * f32(inv_w)
         sy = ys + u1 * f32(inv_h)
         # mirror camera.rays_from_uniforms

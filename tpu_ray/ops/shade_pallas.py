@@ -494,12 +494,14 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
     u3 = _hash_col(base, 3)
     u4 = _hash_col(base, 4)
     if sampler == "sobol":
-        # scrambled (0,2)-sequence pixel jitter (core/qmc.py) on the
-        # PLAIN global sample index; pure tile bit math, Pallas-safe
+        # scrambled Sobol' camera sample (core/qmc.py): dims 1-2 on the
+        # pixel, 3-5 on lens disk + shutter time, on the PLAIN global
+        # sample index; pure tile bit math, Pallas-safe
         from ..core import qmc
 
-        u0, u1 = qmc.pixel_uniforms(
-            slot, sample0 + sample.astype(jnp.uint32), cam_salt)
+        gs = sample0 + sample.astype(jnp.uint32)
+        u0, u1 = qmc.pixel_uniforms(slot, gs, cam_salt)
+        u2, u3, u4 = qmc.lens_time_uniforms(slot, gs, cam_salt)
     sx = xs + u0 * f32(inv_w)
     sy = ys + u1 * f32(inv_h)
     r = cam(18) * jnp.sqrt(u2)

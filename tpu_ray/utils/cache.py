@@ -34,8 +34,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything that took >=1s to compile; trade a little disk for
-    # never re-paying a remote compile
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERYTHING: through the remote-worker tunnel even an eager
+    # convert_element_type costs ~0.4 s to compile, and a render's ~40
+    # scene-build/driver mini-ops add ~16 s of pure compile to every cold
+    # process (measured, tools/r3/measure_warm_anatomy.py) - trade a little
+    # disk for never re-paying any remote compile
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir
