@@ -33,6 +33,8 @@ def main() -> int:
     p.add_argument("--spp", default="16,64,256")
     p.add_argument("--truth-spp", type=int, default=8192)
     p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--seeds", type=int, default=1,
+                   help="report mean MSE over this many render seeds")
     args = p.parse_args()
 
     spec = SCENES[args.scene]
@@ -42,8 +44,10 @@ def main() -> int:
 
     print(f"[sampler] truth: {args.scene} {n}x{n} @ {args.truth_spp} spp",
           file=sys.stderr)
+    # truth seed must not collide with any comparison seed (a shared seed
+    # at lower spp is a prefix of the truth's sample stream -> correlated)
     truth = np.asarray(render(scene, cam, n, n, spp=args.truth_spp,
-                              max_depth=args.max_depth, seed=7))
+                              max_depth=args.max_depth, seed=101))
 
     budgets = [int(s) for s in args.spp.split(",")]
     rows = []
@@ -51,14 +55,16 @@ def main() -> int:
         row = {"spp": spp}
         for sampler in ("uniform", "sobol"):
             c = cam.replace(sampler=sampler)
-            # warm the executable, then time
+            # warm the executable, then time; MSE is the mean over seeds
             render(scene, c, n, n, spp=spp, max_depth=args.max_depth, seed=3)
-            t0 = time.perf_counter()
-            img = np.asarray(render(scene, c, n, n, spp=spp,
-                                    max_depth=args.max_depth, seed=3))
-            wall = time.perf_counter() - t0
-            mse = float(np.mean((img - truth) ** 2))
-            row[sampler] = (mse, wall)
+            mses, wall = [], 0.0
+            for s in range(args.seeds):
+                t0 = time.perf_counter()
+                img = np.asarray(render(scene, c, n, n, spp=spp,
+                                        max_depth=args.max_depth, seed=3 + s))
+                wall += time.perf_counter() - t0
+                mses.append(float(np.mean((img - truth) ** 2)))
+            row[sampler] = (float(np.mean(mses)), wall / args.seeds)
         u, q = row["uniform"][0], row["sobol"][0]
         rows.append(row)
         print(f"[sampler] spp={spp:5d}  uniform mse={u:.3e} "

@@ -11,8 +11,7 @@ from tpu_ray.renderer import (render, plan_pool, resolve_engine,
                               _pixel_grid, _slot_ids, _film_add,
                               clear_auto_checkpoints)
 from tpu_ray.integrator import (_pool_levels, _pool_stage_first,
-                                _pool_stage, _pool_compact, _pool_fold,
-                                _use_fused_shading)
+                                _pool_level, _use_fused_shading)
 
 spec = SCENES["two-spheres"]
 scene = spec.build(seed=1024)
@@ -53,21 +52,14 @@ for rep in range(2):
     accum, sample = st.accum, st.sample
     gids = jnp.arange(R, dtype=jnp.int32)
     for li, m in enumerate(levels):
-        t0 = time.perf_counter()
-        st, gids, s_m, t_m, sid_m = _pool_compact(st, gids, xs, ys, sids, m)
-        jax.block_until_ready(st)
-        tick(f"compact -> {m}", t0)
         nxt = jnp.int32(levels[li+1] if li+1 < len(levels) else 0)
         t0 = time.perf_counter()
-        st = _pool_stage(st, scene, camera, s_m, t_m, sid_m, key, ns,
-                         jnp.uint32(0), jnp.uint32(1024), nxt,
-                         1.0/W, 1.0/H, 50, engine, fused, 0, None)
+        st, gids, accum, sample = _pool_level(
+            st, gids, accum, sample, scene, camera, xs, ys, sids, key, ns,
+            jnp.uint32(0), jnp.uint32(1024), nxt, m,
+            1.0/W, 1.0/H, 50, engine, fused, 0, None)
         jax.block_until_ready(st)
-        tick(f"stage m={m}", t0)
-        t0 = time.perf_counter()
-        accum, sample = _pool_fold(accum, sample, gids, st.accum, st.sample)
-        jax.block_until_ready(accum)
-        tick("fold", t0)
+        tick(f"level m={m} (compact+stage+fold)", t0)
     t0 = time.perf_counter()
     film = _film_add(jnp.zeros((H, W, 3), jnp.float32), accum, k_pool, H, W)
     np.asarray(film)

@@ -487,26 +487,22 @@ def _pool_stage_first(scene, camera, s, t, slot_ids, key, n_samples,
         & (q.iteration < iter_cap), body, st)
 
 
-@_pl_partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16),
-             donate_argnums=(0,))
-def _pool_stage(st, scene, camera, s, t, slot_ids, key, n_samples, sample0,
-                cam_salt, threshold, inv_w, inv_h, max_depth, engine, fused,
-                rr_depth, bvh=None):
-    """Continue a (compacted) pool until <= threshold slots live."""
-    _, body = _make_pool_loop(scene, camera, key, n_samples, sample0,
-                              cam_salt, inv_w, inv_h, max_depth, engine,
-                              fused, rr_depth, bvh, s, t, slot_ids)
-    iter_cap = n_samples * max_depth + max_depth
-    return jax.lax.while_loop(
-        lambda q: (jnp.sum(q.active, dtype=jnp.int32) > threshold)
-        & (q.iteration < iter_cap), body, st)
+@_pl_partial(jax.jit, static_argnums=(14, 15, 16, 17, 18, 19, 20))
+def _pool_level(st, gids, accum, sample, scene, camera, s_full, t_full,
+                sid_full, key, n_samples, sample0, cam_salt, threshold,
+                m, inv_w, inv_h, max_depth, engine, fused, rr_depth,
+                bvh=None):
+    """One staged ladder level as ONE executable: gather the ``m``
+    most-active slots out of ``st`` (trace_pool's argsort take), run the
+    compacted pool until <= ``threshold`` slots live, and fold its radiance
+    / sample counts back into the full-R accumulators.
 
-
-@_pl_partial(jax.jit, static_argnums=(5,))
-def _pool_compact(st, gids, s_full, t_full, sid_full, m):
-    """Gather the m most-active slots (trace_pool's argsort take); returns
-    the compacted stage state (accum zeroed - stage results are folded
-    back by _pool_fold) plus the stage's film coords and slot ids."""
+    Compact + stage + fold used to be three separate executables; through
+    the remote-worker tunnel every launch costs ~25 ms, and those un-
+    overlappable launches WERE the small-scene dispatch floor (two-spheres
+    0.33 -> 0.59 s when the staged ladder first landed - PERFLOG round 3
+    "Small-scene dispatch floor").  One executable per level keeps the
+    cold-start property (one body per program) at 1/3 the launches."""
     order = jnp.argsort(~st.active, stable=True)[:m]
     g2 = gids[order]
     take = lambda a: a[order]
@@ -521,12 +517,16 @@ def _pool_compact(st, gids, s_full, t_full, sid_full, m):
         active=take(st.active),
         accum=jnp.zeros((m, 3), jnp.float32),
     )
-    return stage, g2, s_full[g2], t_full[g2], sid_full[g2]
-
-
-@_pl_partial(jax.jit, donate_argnums=(0, 1))
-def _pool_fold(accum, sample, gids, part_accum, part_sample):
-    return accum.at[gids].add(part_accum), sample.at[gids].set(part_sample)
+    s_m, t_m, sid_m = s_full[g2], t_full[g2], sid_full[g2]
+    _, body = _make_pool_loop(scene, camera, key, n_samples, sample0,
+                              cam_salt, inv_w, inv_h, max_depth, engine,
+                              fused, rr_depth, bvh, s_m, t_m, sid_m)
+    iter_cap = n_samples * max_depth + max_depth
+    st2 = jax.lax.while_loop(
+        lambda q: (jnp.sum(q.active, dtype=jnp.int32) > threshold)
+        & (q.iteration < iter_cap), body, stage)
+    return (st2, g2, accum.at[g2].add(st2.accum),
+            sample.at[g2].set(st2.sample))
 
 
 def trace_pool_staged(
@@ -580,13 +580,11 @@ def trace_pool_staged(
     accum, sample = st.accum, st.sample
     gids = jnp.arange(R, dtype=jnp.int32)
     for li, m in enumerate(levels):
-        st, gids, s_m, t_m, sid_m = _pool_compact(st, gids, s, t, slot_ids,
-                                                  m)
         nxt = jnp.int32(levels[li + 1] if li + 1 < len(levels) else 0)
-        st = _pool_stage(st, scene, camera, s_m, t_m, sid_m, key, n_samples,
-                         sample0, cam_salt, nxt, inv_w, inv_h, max_depth,
-                         engine, fused, rr_depth, bvh)
-        accum, sample = _pool_fold(accum, sample, gids, st.accum, st.sample)
+        st, gids, accum, sample = _pool_level(
+            st, gids, accum, sample, scene, camera, s, t, slot_ids, key,
+            n_samples, sample0, cam_salt, nxt, m, inv_w, inv_h, max_depth,
+            engine, fused, rr_depth, bvh)
     return accum, sample
 
 
