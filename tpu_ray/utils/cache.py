@@ -41,4 +41,50 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # disk for never re-paying any remote compile
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _sync_prebuilt(cache_dir)
     return cache_dir
+
+
+def _sync_prebuilt(cache_dir: str) -> int:
+    """Unpack repo-shipped prebuilt executables into the cache.
+
+    The reference compiles once at build time (GHC, stack.yaml:52-55); our
+    equivalent of its build artifact is ``prebuilt/xla/``: the persistent-
+    cache entries (gzipped) for the benchmark suite's executables, packaged
+    by tools/r3/make_prebuilt.py.  A fresh environment that would otherwise
+    pay 150-600 s of remote TPU compilation per program starts warm
+    instead.  Entries are keyed by the HLO + compile options + jax version,
+    so a mismatched environment simply never hits them (dead weight, not
+    wrong results).  Set ``TPU_RAY_PREBUILT=0`` to skip.
+    """
+    env = os.environ.get("TPU_RAY_PREBUILT", "")
+    if env.lower() in ("0", "off", "none"):
+        return 0
+    pre = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "prebuilt", "xla")
+    if not os.path.isdir(pre):
+        return 0
+    import gzip
+    import shutil
+
+    n = 0
+    for name in os.listdir(pre):
+        if not name.endswith(".gz"):
+            continue
+        dst = os.path.join(cache_dir, name[:-3])
+        if os.path.exists(dst):
+            continue
+        tmp = dst + ".tmp"
+        try:
+            with gzip.open(os.path.join(pre, name), "rb") as f_in, \
+                    open(tmp, "wb") as f_out:
+                shutil.copyfileobj(f_in, f_out)
+            os.replace(tmp, dst)  # atomic: concurrent processes race safely
+            n += 1
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    return n
