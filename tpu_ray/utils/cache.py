@@ -45,7 +45,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     return cache_dir
 
 
-def _sync_prebuilt(cache_dir: str) -> int:
+def _sync_prebuilt(cache_dir: str, prebuilt_dir: str | None = None) -> int:
     """Unpack repo-shipped prebuilt executables into the cache.
 
     The reference compiles once at build time (GHC, stack.yaml:52-55); our
@@ -60,7 +60,7 @@ def _sync_prebuilt(cache_dir: str) -> int:
     env = os.environ.get("TPU_RAY_PREBUILT", "")
     if env.lower() in ("0", "off", "none"):
         return 0
-    pre = os.path.join(
+    pre = prebuilt_dir or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "prebuilt", "xla")
     if not os.path.isdir(pre):
