@@ -1,0 +1,117 @@
+"""Render server (`--serve`, utils/server.py): JSONL request/response.
+
+The reference is one-process-one-image (app/Main.hs:26-63); the server
+keeps a process resident so repeat renders skip warmup.  Handler semantics
+are tested in-process; the stdin/stdout protocol via a subprocess.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_ray.utils.server import RenderServer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def srv():
+    return RenderServer()
+
+
+def test_ping_and_unknown_cmd(srv):
+    assert srv.handle({"cmd": "ping", "id": 1}) == {
+        "ok": True, "pong": True, "id": 1}
+    r = srv.handle({"cmd": "explode"})
+    assert r["ok"] is False and "explode" in r["error"]
+
+
+def test_render_request_writes_image(srv, tmp_path):
+    out = str(tmp_path / "two.png")
+    r = srv.handle({"scene": "two-spheres", "width": 16, "height": 12,
+                    "spp": 2, "max_depth": 3, "out": out, "id": "a"})
+    assert r["ok"] is True, r
+    assert r["id"] == "a" and r["out"] == out and r["wall_s"] > 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (12, 16, 3)
+    assert img.max() > 0
+
+
+def test_render_matches_direct_render(srv, tmp_path):
+    """Server renders are the same pixels as a direct render() call."""
+    from tpu_ray.core import film
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import render
+
+    out = str(tmp_path / "c.png")
+    r = srv.handle({"scene": "cornell", "width": 12, "height": 10, "spp": 2,
+                    "max_depth": 4, "out": out})
+    assert r["ok"] is True, r
+    spec = SCENES["cornell"]
+    img = render(spec.build(seed=1024), spec.camera(12, 10), 12, 10, spp=2,
+                 max_depth=4)
+    from PIL import Image
+
+    got = np.asarray(Image.open(out))
+    want = np.asarray(film.to_rgb8(img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scene_cache_reused(srv, tmp_path):
+    key = ("two-spheres", 1024, "fixed", None)
+    assert key in srv._scenes
+    before = srv._scenes[key]
+    srv.handle({"scene": "two-spheres", "width": 8, "height": 6, "spp": 1,
+                "max_depth": 2, "out": str(tmp_path / "x.png")})
+    assert srv._scenes[key] is before
+
+
+def test_errors_never_raise(srv, tmp_path):
+    r = srv.handle({"scene": "nope", "out": str(tmp_path / "n.png")})
+    assert r["ok"] is False and "nope" in r["error"]
+    r = srv.handle({"scene": "cornell"})
+    assert r["ok"] is False and "out" in r["error"]
+    r = srv.handle({"scene": "cornell", "out": str(tmp_path / "c.png"),
+                    "bogus_key": 1})
+    assert r["ok"] is False and "bogus_key" in r["error"]
+
+
+def test_warm_compiles_without_output(srv):
+    r = srv.handle({"cmd": "warm", "scene": "two-spheres", "width": 16,
+                    "height": 12, "spp": 2, "max_depth": 3})
+    assert r["ok"] is True and r["warmed"] is True and "out" not in r
+
+
+def test_subprocess_protocol(tmp_path):
+    out1, out2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"cmd": "ping", "id": 0},
+        {"scene": "two-spheres", "width": 12, "height": 8, "spp": 2,
+         "max_depth": 3, "out": out1, "id": 1},
+        {"scene": "two-spheres", "width": 12, "height": 8, "spp": 2,
+         "max_depth": 3, "out": out2, "id": 2},
+        "not json at all",
+        {"cmd": "quit", "id": 3},
+    ]) + "\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu", "--serve"],
+        input=reqs, capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines[0] == {"ok": True, "ready": True}
+    by_id = {ln.get("id"): ln for ln in lines[1:] if "id" in ln}
+    assert by_id[0]["pong"] is True
+    assert by_id[1]["ok"] and by_id[2]["ok"]
+    # the second identical render reuses the first's executables: in a
+    # fresh CPU process the compile dominates, so >=2x faster is a very
+    # loose bound that still proves reuse
+    assert by_id[2]["wall_s"] < by_id[1]["wall_s"]
+    bad = [ln for ln in lines if not ln.get("ok")]
+    assert len(bad) == 1 and "bad request" in bad[0]["error"]
+    assert by_id[3]["quit"] is True
+    assert os.path.exists(out1) and os.path.exists(out2)

@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--serve", action="store_true",
+                   help="run as a long-lived render server: JSONL requests "
+                        "on stdin, responses on stdout (utils/server.py); "
+                        "renders after the first reuse the live backend and "
+                        "compiled executables instead of re-paying warmup")
     p.add_argument("--supervise", type=int, default=0, metavar="N",
                    help="run the render in a child process and retry up to N "
                         "times if the TPU runtime crashes; long renders "
@@ -142,6 +147,11 @@ def main(argv=None) -> int:
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.serve:
+        from .server import serve
+
+        return serve()
 
     from ..core import film
     from ..models.scenes import SCENES
