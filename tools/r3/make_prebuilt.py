@@ -1,29 +1,55 @@
 """Package a persistent-cache directory into repo-shipped prebuilt
 executables (prebuilt/xla/*.gz) - see utils/cache._sync_prebuilt.
 
-Usage:
-    TPU_RAY_CACHE_DIR=/tmp/prebuilt_stage python bench.py --prewarm
-    TPU_RAY_CACHE_DIR=/tmp/prebuilt_stage python tools/validate_hw.py --render
+Usage (stage into a FRESH dir so the package holds exactly the
+executables the current code compiles; a long-lived cache dir
+accumulates dead keys from older code):
+
+    export TPU_RAY_CACHE_DIR=/tmp/prebuilt_stage TPU_RAY_PREBUILT=0
+    python bench.py --prewarm --suite two-spheres,cornell,cornell-smoke,next-week --no-validate
+    python tools/validate_hw.py --render
     python tools/r3/make_prebuilt.py /tmp/prebuilt_stage
 
-Stage into a FRESH cache dir so the package holds exactly the executables
-the current code compiles (a long-lived cache dir accumulates entries from
-older code whose keys are dead weight).
+Only TPU entries are packaged: XLA:CPU cache entries embed the compile
+host's machine features (avx512 etc.) and loading them on a different
+host warns "could lead to execution errors such as SIGILL" - and the
+driver's bench runs on the TPU backend anyway.  CPU entries are detected
+by their embedded feature strings in the zstd-decoded payload; anything
+undecodable is kept (fail-open: a mismatched key is dead weight, not
+wrong results).
 """
 import gzip
 import os
 import shutil
 import sys
 
+
+def is_cpu_entry(path: str) -> bool:
+    try:
+        import zstandard
+    except ImportError:
+        return False  # fail-open
+    try:
+        raw = open(path, "rb").read()
+        body = zstandard.ZstdDecompressor().decompress(
+            raw, max_output_size=1 << 28)
+    except Exception:
+        return False
+    return b"prefer-no-gather" in body or b"+avx" in body
+
+
 src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     os.path.expanduser("~"), ".cache", "tpu_ray", "xla")
 dst = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "prebuilt", "xla")
 os.makedirs(dst, exist_ok=True)
-total_in = total_out = n = 0
+total_in = total_out = n = n_cpu = 0
 for name in sorted(os.listdir(src)):
     p = os.path.join(src, name)
     if not os.path.isfile(p):
+        continue
+    if is_cpu_entry(p):
+        n_cpu += 1
         continue
     out = os.path.join(dst, name + ".gz")
     with open(p, "rb") as f_in, gzip.open(out, "wb", compresslevel=9) as f_out:
@@ -31,5 +57,5 @@ for name in sorted(os.listdir(src)):
     total_in += os.path.getsize(p)
     total_out += os.path.getsize(out)
     n += 1
-print(f"packaged {n} entries: {total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB "
-      f"in {dst}")
+print(f"packaged {n} TPU entries ({n_cpu} CPU-host entries skipped): "
+      f"{total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB in {dst}")
