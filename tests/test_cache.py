@@ -77,3 +77,41 @@ def test_sync_disabled_by_env(tmp_path, monkeypatch):
     monkeypatch.setenv("TPU_RAY_PREBUILT", "0")
     assert _sync_prebuilt(str(cache), pre) == 0
     assert list(cache.iterdir()) == []
+
+
+def _load_packager():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "r3", "make_prebuilt.py")
+    spec = importlib.util.spec_from_file_location("make_prebuilt", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_packager_skips_cpu_host_entries(tmp_path, capsys):
+    """The packager ships TPU executables only: XLA:CPU entries embed the
+    compile host's CPU features and can SIGILL elsewhere."""
+    import zstandard
+
+    mp = _load_packager()
+    src = tmp_path / "stage"
+    src.mkdir()
+    comp = zstandard.ZstdCompressor()
+    (src / "cpu_entry").write_bytes(
+        comp.compress(b"xla cpu executable +avx512f features"))
+    (src / "tpu_entry").write_bytes(
+        comp.compress(b"mosaic tpu program, no host features"))
+    (src / "raw_garbage").write_bytes(b"not zstd at all")  # fail-open: kept
+    dst = tmp_path / "out"
+    n, n_cpu = mp.package(str(src), str(dst))
+    assert (n, n_cpu) == (2, 1)
+    names = sorted(p.name for p in dst.iterdir())
+    assert names == ["raw_garbage.gz", "tpu_entry.gz"]
+    # round-trip: sync unpacks what the packager wrote, byte-identically
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    assert _sync_prebuilt(str(cache), str(dst)) == 2
+    assert (cache / "tpu_entry").read_bytes() == (
+        src / "tpu_entry").read_bytes()

@@ -23,6 +23,9 @@ import os
 import shutil
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def is_cpu_entry(path: str) -> bool:
     try:
@@ -38,24 +41,30 @@ def is_cpu_entry(path: str) -> bool:
     return b"prefer-no-gather" in body or b"+avx" in body
 
 
-src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-    os.path.expanduser("~"), ".cache", "tpu_ray", "xla")
-dst = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "prebuilt", "xla")
-os.makedirs(dst, exist_ok=True)
-total_in = total_out = n = n_cpu = 0
-for name in sorted(os.listdir(src)):
-    p = os.path.join(src, name)
-    if not os.path.isfile(p):
-        continue
-    if is_cpu_entry(p):
-        n_cpu += 1
-        continue
-    out = os.path.join(dst, name + ".gz")
-    with open(p, "rb") as f_in, gzip.open(out, "wb", compresslevel=9) as f_out:
-        shutil.copyfileobj(f_in, f_out)
-    total_in += os.path.getsize(p)
-    total_out += os.path.getsize(out)
-    n += 1
-print(f"packaged {n} TPU entries ({n_cpu} CPU-host entries skipped): "
-      f"{total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB in {dst}")
+def package(src: str, dst: str) -> tuple[int, int]:
+    """Gzip every TPU cache entry in src into dst; returns (n, n_cpu)."""
+    os.makedirs(dst, exist_ok=True)
+    total_in = total_out = n = n_cpu = 0
+    for name in sorted(os.listdir(src)):
+        p = os.path.join(src, name)
+        if not os.path.isfile(p):
+            continue
+        if is_cpu_entry(p):
+            n_cpu += 1
+            continue
+        out = os.path.join(dst, name + ".gz")
+        with open(p, "rb") as f_in, \
+                gzip.open(out, "wb", compresslevel=9) as f_out:
+            shutil.copyfileobj(f_in, f_out)
+        total_in += os.path.getsize(p)
+        total_out += os.path.getsize(out)
+        n += 1
+    print(f"packaged {n} TPU entries ({n_cpu} CPU-host entries skipped): "
+          f"{total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB in {dst}")
+    return n, n_cpu
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.expanduser("~"), ".cache", "tpu_ray", "xla")
+    package(src, os.path.join(REPO, "prebuilt", "xla"))
