@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "budget cap.  A different quality contract than the "
                         "reference's fixed spp (tpu_ray/adaptive.py); "
                         "single-device only")
+    p.add_argument("--aov", default=None, metavar="LIST",
+                   help="render first-hit feature buffers instead of the "
+                        "beauty pass: comma list from albedo,normal,depth,"
+                        "coverage, or 'all' (tpu_ray/aov.py - albedo+normal "
+                        "are the standard denoiser inputs).  Each buffer is "
+                        "written to <out stem>.<name>.png; requires --out. "
+                        "Use a small --spp (e.g. 16): AOVs are first-hit "
+                        "features, not a Monte-Carlo integral")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -183,6 +191,44 @@ def main(argv=None) -> int:
     camera = spec.camera(args.width, args.height)
     if args.sampler != "uniform":
         camera = camera.replace(sampler=args.sampler)
+
+    if args.aov:
+        from ..aov import AOV_NAMES, aov_images, render_aovs
+        from ..renderer import resolve_engine
+
+        names = AOV_NAMES if args.aov == "all" else tuple(
+            n.strip() for n in args.aov.split(",") if n.strip())
+        bad = [n for n in names if n not in AOV_NAMES]
+        if bad:
+            print(f"unknown AOV(s) {bad}; choose from {list(AOV_NAMES)}",
+                  file=sys.stderr)
+            return 2
+        if args.out == "-":
+            print("--aov writes one PNG per buffer; pass --out PATH",
+                  file=sys.stderr)
+            return 2
+        import numpy as np
+
+        engine = resolve_engine(scene, args.engine)
+        if engine not in ("xla", "pallas"):
+            engine = "xla"
+        t_start = time.perf_counter()
+        aovs = render_aovs(scene, camera, args.width, args.height,
+                           spp=args.spp, seed=args.seed, engine=engine)
+        imgs = aov_images(aovs)
+        stem = args.out
+        for suffix in (".png", ".ppm"):
+            if stem.lower().endswith(suffix):
+                stem = stem[: -len(suffix)]
+        for n in names:
+            rgb8 = (np.clip(imgs[n], 0.0, 1.0) * 255.999).astype(np.uint8)
+            film.write_png(rgb8, f"{stem}.{n}.png")
+            print(f"wrote {stem}.{n}.png", file=sys.stderr)
+        if args.time:
+            print(f"aov wall time: {time.perf_counter() - t_start:.3f}s",
+                  file=sys.stderr)
+        print("Done.", file=sys.stderr)
+        return 0
 
     mesh = None
     if args.devices:
