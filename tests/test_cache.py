@@ -115,3 +115,68 @@ def test_packager_skips_cpu_host_entries(tmp_path, capsys):
     assert _sync_prebuilt(str(cache), str(dst)) == 2
     assert (cache / "tpu_entry").read_bytes() == (
         src / "tpu_entry").read_bytes()
+
+
+_AXON_VERSION = (
+    "PJRT C API\n"
+    "axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat c49\n"
+    "TFRT TPU v5 lite\n"
+    "Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709"
+)
+
+
+def test_normalized_platform_version_strips_build_stamp():
+    """The 'Built on ...' line churns per backend redeploy (it shifted every
+    cache key between rounds 3 and 4); the compat markers are the real
+    compatibility contract and must survive normalization."""
+    from tpu_ray.utils.cache import normalized_platform_version
+
+    n = normalized_platform_version(_AXON_VERSION)
+    assert "Built on" not in n
+    assert "compat c49" in n and "PJRT C API" in n and "TFRT TPU v5 lite" in n
+    redeployed = _AXON_VERSION.replace(
+        "Nov 12 2025 14:16:36 (1762985796) cl/831091709",
+        "Jan 01 2026 00:00:01 (1767225601) cl/999999999")
+    assert normalized_platform_version(redeployed) == n
+    # a REAL compat change must still shift the normalized string
+    assert normalized_platform_version(
+        _AXON_VERSION.replace("compat c49", "compat c50")) != n
+
+
+def test_platform_key_patch_ignores_build_stamp_only():
+    from tpu_ray.utils import cache as c
+
+    assert c._patch_platform_key()
+    import hashlib
+
+    from jax._src import cache_key as ck
+
+    class B:
+        platform = "tpu"
+
+    def digest(version):
+        b = B()
+        b.platform_version = version
+        h = hashlib.sha256()
+        ck._hash_platform(h, b)
+        return h.digest()
+
+    assert digest(_AXON_VERSION) == digest(_AXON_VERSION.replace(
+        "cl/831091709", "cl/000000001"))
+    assert digest(_AXON_VERSION) != digest(_AXON_VERSION.replace(
+        "SerializedExecutable v9", "SerializedExecutable v10"))
+
+
+def test_stats_listener_counts_hits_and_misses():
+    from tpu_ray.utils import cache as c
+
+    c._install_stats_listener()
+    before = c.cache_stats()
+    from jax._src import monitoring
+
+    monitoring.record_event("/jax/compilation_cache/cache_hits")
+    monitoring.record_event("/jax/compilation_cache/cache_misses")
+    monitoring.record_event("/jax/compilation_cache/cache_misses")
+    after = c.cache_stats()
+    assert after["hits"] - before["hits"] == 1
+    assert after["misses"] - before["misses"] == 2

@@ -27,6 +27,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+# Feature strings XLA:CPU embeds for the compile host's ISA; any of these
+# in the decoded payload marks a CPU-host entry (covers x86 avx/sse, ARM
+# neon/sve - ADVICE r3: '+avx' alone missed ARM staging hosts).
+_CPU_MARKERS = (b"prefer-no-gather", b"+avx", b"+sse", b"+neon", b"+sve",
+                b"cpu_features")
+
+
 def is_cpu_entry(path: str) -> bool:
     try:
         import zstandard
@@ -38,7 +45,32 @@ def is_cpu_entry(path: str) -> bool:
             raw, max_output_size=1 << 28)
     except Exception:
         return False
-    return b"prefer-no-gather" in body or b"+avx" in body
+    return any(m in body for m in _CPU_MARKERS)
+
+
+def write_platform_record(dst_parent: str) -> None:
+    """Record the producing jax + normalized backend version so a
+    mismatched consumer environment can warn instead of silently missing
+    (utils/cache.prebuilt_platform_mismatch)."""
+    try:
+        import jax
+        import jax.extend
+
+        sys.path.insert(0, REPO)
+        from tpu_ray.utils.cache import normalized_platform_version
+
+        record = "\n".join([
+            jax.version._version,
+            normalized_platform_version(
+                jax.extend.backend.get_backend().platform_version),
+        ]).strip()
+    except Exception as e:
+        print(f"PLATFORM.txt not written (no backend?): {e}")
+        return
+    path = os.path.join(dst_parent, "PLATFORM.txt")
+    with open(path, "w") as f:
+        f.write(record + "\n")
+    print(f"recorded producing platform in {path}")
 
 
 def package(src: str, dst: str) -> tuple[int, int]:
@@ -67,4 +99,8 @@ def package(src: str, dst: str) -> tuple[int, int]:
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.expanduser("~"), ".cache", "tpu_ray", "xla")
-    package(src, os.path.join(REPO, "prebuilt", "xla"))
+    dst = os.path.join(REPO, "prebuilt", "xla")
+    if os.path.isdir(dst):  # stale keys are dead weight; replace wholesale
+        shutil.rmtree(dst)
+    package(src, dst)
+    write_platform_record(os.path.join(REPO, "prebuilt"))
