@@ -111,3 +111,27 @@ def test_cli_aov(tmp_path):
     for n in AOV_NAMES:
         assert (tmp_path / f"c.{n}.png").exists()
     assert not out.exists()  # no beauty pass is rendered under --aov
+
+
+def test_banded_aovs_bit_identical():
+    """Band tiling (the beauty pass's lane-cap mechanism, VERDICT r3 #9)
+    must not change a single bit: global slot ids key the sample streams."""
+    scene = _sphere_scene()
+    cam = _camera(aperture=0.2)
+    full = render_aovs(scene, cam, 19, 13, spp=4, seed=5)
+    banded = render_aovs(scene, cam, 19, 13, spp=4, seed=5,
+                         band_cap=19 * 3)  # 3-row bands, 5 bands
+    for n in AOV_NAMES:
+        np.testing.assert_array_equal(np.asarray(full[n]),
+                                      np.asarray(banded[n]))
+
+
+def test_cli_aov_announces_ignored_flags(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu",
+         "--scene", "two-spheres", "--width", "8", "--height", "8",
+         "--spp", "1", "--aov", "coverage", "--devices", "8", "--bvh",
+         "--out", str(tmp_path / "a.png")],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "[aov] ignoring --devices, --bvh" in r.stderr

@@ -115,3 +115,65 @@ def test_subprocess_protocol(tmp_path):
     assert len(bad) == 1 and "bad request" in bad[0]["error"]
     assert by_id[3]["quit"] is True
     assert os.path.exists(out1) and os.path.exists(out2)
+
+
+def test_warm_compiles_the_real_pool_executable(monkeypatch, tmp_path):
+    """ADVICE r3: warm used spp=min(spp,1), compiling a k_pool=1 executable
+    while the real render's k_pool could differ - the first render then
+    still paid full compilation.  Warm must render spp=k_pool (pool mode)
+    so the traced shapes match the full render's."""
+    import tpu_ray.renderer as renderer
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import plan_pool, resolve_engine
+
+    captured = {}
+    real_render = renderer.render
+
+    def spy(scene, camera, w, h, **kw):
+        captured["spp"] = kw.get("spp")
+        return real_render(scene, camera, w, h, **kw)
+
+    monkeypatch.setattr(renderer, "render", spy)
+    srv = RenderServer()
+    scene = SCENES["two-spheres"].build(seed=1024)
+    k_pool, _, _ = plan_pool(scene, 64, 48, 1000, 1 << 20, 64,
+                             engine=resolve_engine(scene, "auto"))
+    assert k_pool > 1  # otherwise this test can't catch the regression
+    r = srv.handle({"cmd": "warm", "scene": "two-spheres", "width": 64,
+                    "height": 48, "spp": 1000, "max_depth": 2})
+    assert r["ok"] is True, r
+    assert captured["spp"] == k_pool
+
+
+def test_warm_queue_mode_renders_full_spp(monkeypatch):
+    """Queue executables are keyed by the full film-plane shape: the only
+    warm that compiles the timed shapes is the full-spp render."""
+    import tpu_ray.renderer as renderer
+
+    captured = {}
+    real_render = renderer.render
+
+    def spy(scene, camera, w, h, **kw):
+        captured["spp"] = kw.get("spp")
+        return real_render(scene, camera, w, h, **kw)
+
+    monkeypatch.setattr(renderer, "render", spy)
+    srv = RenderServer()
+    r = srv.handle({"cmd": "warm", "scene": "two-spheres", "width": 12,
+                    "height": 8, "spp": 3, "max_depth": 2, "mode": "queue"})
+    assert r["ok"] is True, r
+    assert captured["spp"] == 3
+
+
+def test_stats_reports_cached_scenes_and_counters(tmp_path):
+    srv = RenderServer()
+    r = srv.handle({"cmd": "stats"})
+    assert r["ok"] and r["renders"] == 0 and r["cached_scenes"] == []
+    srv.handle({"scene": "two-spheres", "width": 8, "height": 6, "spp": 1,
+                "max_depth": 2, "out": str(tmp_path / "s.png")})
+    srv.handle({"cmd": "warm", "scene": "two-spheres", "width": 8,
+                "height": 6, "spp": 1, "max_depth": 2})
+    r = srv.handle({"cmd": "stats"})
+    assert r["renders"] == 1 and r["warms"] == 1
+    assert ["two-spheres", 1024, "fixed", None] in r["cached_scenes"]
+    assert "compile_cache" in r

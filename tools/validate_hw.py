@@ -91,9 +91,19 @@ def main() -> int:
         mask_diff = int((h_h != h_c).sum())
         both = h_h & h_c
         rel = np.abs(bt_h[both] - bt_c[both]) / np.maximum(bt_c[both], 1e-6)
-        firm = both & (np.abs(bt_h - bt_c)
-                       > 1e-5 * np.maximum(np.abs(bt_c), 1.0))
+        # mask the miss lanes BEFORE subtracting: both-miss lanes hold
+        # +inf on each side and inf-inf is NaN (r3 RuntimeWarning)
+        t_h = np.where(both, bt_h, 0.0)
+        t_c = np.where(both, bt_c, 0.0)
+        firm = both & (np.abs(t_h - t_c) > 1e-5 * np.maximum(np.abs(t_c), 1.0))
         i_bad = int((firm & (bi_h != bi_c)).sum())
+        # attribution: a real phantom-hit regression must be nameable from
+        # the driver log alone (scene + lane + prim + both t values)
+        for lane in np.nonzero(firm)[0][:5]:
+            print(f"  {name}: firm diff lane {lane}: "
+                  f"t_hw={bt_h[lane]:.6g} t_cpu={bt_c[lane]:.6g} "
+                  f"prim_hw={int(bi_h[lane])} prim_cpu={int(bi_c[lane])}"
+                  f"{' PRIM-MISMATCH' if bi_h[lane] != bi_c[lane] else ''}")
         # grazing hits of r=1000 ground spheres cancel catastrophically
         # (same conditioning note as tests/test_pallas.py rtol=5e-4):
         # p99.9 stays ~1e-4..1e-3 on those scenes, max can reach a few %
@@ -104,7 +114,8 @@ def main() -> int:
         print(f"{name:20s} sweep {'OK' if ok else 'FAIL'}: "
               f"hits {int(both.sum())}/{R}, mask-diff {mask_diff}, "
               f"rel t max {rel.max():.2e} p99.9 "
-              f"{np.quantile(rel, 0.999):.2e}, firm prim diffs {i_bad}")
+              f"{np.quantile(rel, 0.999):.2e}, firm t diffs "
+              f"{int(firm.sum())}, firm prim diffs {i_bad}")
 
     if args.render:
         # compare hardware renders against the committed CPU goldens: the

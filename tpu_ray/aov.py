@@ -58,14 +58,21 @@ def _camera_rays(camera, slot_ids, sample_idx, cam_salt, s, t, inv_w, inv_h):
 
 @partial(jax.jit, static_argnums=(3, 4, 7), donate_argnums=0)
 def _aov_step(acc, scene: SceneData, camera, width: int, height: int,
-              sample_idx, cam_salt, engine: str):
-    """Accumulate one sample wave's first-hit features into ``acc``."""
-    P = width * height
-    slot_ids = jnp.arange(P, dtype=jnp.uint32)
+              sample_idx, cam_salt, engine: str, slot0=0):
+    """Accumulate one sample wave's first-hit features into ``acc``.
+
+    ``slot0`` is the GLOBAL pixel index of the band's first lane (traced,
+    so band position never recompiles); the per-lane camera streams are
+    keyed by global slot id, making band-tiled output bit-identical to a
+    full-frame pass (same contract as renderer band tiling).
+    """
+    P_band = acc["depth"].shape[0]
+    slot_ids = jnp.uint32(slot0) + jnp.arange(P_band, dtype=jnp.uint32)
     # image row 0 is the TOP of the frame (renderer._pixel_grid)
-    ys = jnp.repeat(
-        jnp.arange(height - 1, -1, -1, dtype=jnp.float32), width) / height
-    xs = jnp.tile(jnp.arange(width, dtype=jnp.float32), height) / width
+    row = (slot_ids // width).astype(jnp.float32)
+    col = (slot_ids % width).astype(jnp.float32)
+    ys = (height - 1 - row) / height
+    xs = col / width
     ro, rd, rt = _camera_rays(camera, slot_ids, sample_idx, cam_salt,
                               xs, ys, 1.0 / width, 1.0 / height)
     key = jax.random.fold_in(
@@ -92,25 +99,44 @@ def _aov_step(acc, scene: SceneData, camera, width: int, height: int,
 
 
 def render_aovs(scene: SceneData, camera, width: int, height: int,
-                spp: int = 16, seed: int = 0, engine: str = "xla") -> dict:
+                spp: int = 16, seed: int = 0, engine: str = "xla",
+                band_cap: int | None = None) -> dict:
     """Render the first-hit AOV buffers.
 
     Returns a dict of (H, W[, 3]) float32 arrays: ``albedo``, ``normal``
     (mean shading normal, re-normalized; 0 where nothing was ever hit),
     ``depth`` (mean hit distance; +inf where nothing was ever hit) and
     ``coverage`` (hit fraction in [0, 1]).
+
+    The frame is processed in horizontal bands under the SAME device lane
+    caps as the beauty pass (renderer.XLA_BIG_SCENE_LANES /
+    pallas_lane_cap), so a full-resolution pass on a >512-prim scene
+    respects HBM limits; global slot ids keep banded output bit-identical
+    to an unbanded pass.  ``band_cap`` overrides the cap (tests).
     """
-    P = width * height
-    acc = {
-        "albedo": jnp.zeros((P, 3), jnp.float32),
-        "normal": jnp.zeros((P, 3), jnp.float32),
-        "depth": jnp.zeros((P,), jnp.float32),
-        "hits": jnp.zeros((P,), jnp.float32),
-    }
+    from .renderer import XLA_BIG_SCENE_LANES, pallas_lane_cap
+
+    if band_cap is None:
+        band_cap = (XLA_BIG_SCENE_LANES
+                    if engine in ("xla", "mxu") and scene.n_prims > 512
+                    else pallas_lane_cap(scene.n_prims))
     cam_salt = jnp.uint32(seed)
-    for s in range(spp):
-        acc = _aov_step(acc, scene, camera, width, height, jnp.uint32(s),
-                        cam_salt, engine)
+    band_h = max(1, band_cap // width)
+    parts = []
+    for row0 in range(0, height, band_h):
+        bh = min(band_h, height - row0)
+        bp = bh * width
+        acc = {
+            "albedo": jnp.zeros((bp, 3), jnp.float32),
+            "normal": jnp.zeros((bp, 3), jnp.float32),
+            "depth": jnp.zeros((bp,), jnp.float32),
+            "hits": jnp.zeros((bp,), jnp.float32),
+        }
+        for s in range(spp):
+            acc = _aov_step(acc, scene, camera, width, height, jnp.uint32(s),
+                            cam_salt, engine, jnp.uint32(row0 * width))
+        parts.append(acc)
+    acc = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
     hits = acc["hits"]
     some = hits > 0
     n_mean = acc["normal"] / spp

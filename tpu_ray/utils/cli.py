@@ -207,6 +207,22 @@ def main(argv=None) -> int:
             print("--aov writes one PNG per buffer; pass --out PATH",
                   file=sys.stderr)
             return 2
+        # announce dropped flags (same convention as resolve_mode's
+        # demotion messages): render_aovs is a single-device first-hit
+        # pass with no mesh/BVH/checkpoint/adaptive machinery
+        ignored = [flag for flag, on in (
+            ("--devices", args.devices),
+            ("--bvh", args.bvh),
+            ("--checkpoint", args.checkpoint),
+            ("--checkpoint-every", args.checkpoint_every),
+            ("--adaptive", args.adaptive),
+            ("--mode", args.mode != "auto"),
+            ("--rr-depth", args.rr_depth),
+        ) if on]
+        if ignored:
+            print(f"[aov] ignoring {', '.join(ignored)}: AOV passes are "
+                  "single-device first-hit sweeps (band-tiled under the "
+                  "beauty pass's lane caps)", file=sys.stderr)
         import numpy as np
 
         engine = resolve_engine(scene, args.engine)

@@ -18,7 +18,8 @@ sampler, estimator, rr_depth, adaptive, devices, rays_per_wave,
 samples_per_wave).  ``out`` is required (the response channel is stdout, so
 images always go to files).  Control requests: {"cmd": "ping"} -> liveness
 probe, {"cmd": "warm", "scene": ..., ...} -> compile a config's executables
-without writing an image, {"cmd": "quit"} -> clean exit.  Malformed or
+without writing an image, {"cmd": "stats"} -> cached scenes + request and
+compile-cache counters, {"cmd": "quit"} -> clean exit.  Malformed or
 failing requests answer {"ok": false, "error": ...} and never kill the
 server.  Progress/diagnostics stay on stderr.
 """
@@ -48,6 +49,8 @@ class RenderServer:
     def __init__(self):
         self._scenes = {}
         self._earth = {}
+        self._renders = 0
+        self._warms = 0
 
     def _get_scene(self, name, seed, estimator, earthmap):
         from ..models.scenes import SCENES
@@ -82,6 +85,13 @@ class RenderServer:
             return {"ok": True, "pong": True}
         if cmd == "quit":
             return {"ok": True, "quit": True}
+        if cmd == "stats":
+            from .cache import cache_stats
+
+            return {"ok": True,
+                    "cached_scenes": [list(k) for k in self._scenes],
+                    "renders": self._renders, "warms": self._warms,
+                    "compile_cache": cache_stats()}
         if cmd not in ("render", "warm"):
             raise ValueError(f"unknown cmd {cmd!r}")
 
@@ -115,10 +125,25 @@ class RenderServer:
 
         kw = {k: cfg[k] for k in _RENDER_KEYS}
         if cmd == "warm":
-            # compile the exact executables a full render would use by
-            # rendering one sample per pool slot (bench.warmup's trick:
-            # the per-wave sample count is traced, so this shares shapes)
-            kw["spp"] = min(kw["spp"], 1)
+            # compile the exact executables the full render would use
+            # (bench.warmup's logic; ADVICE r3: warming spp=1 compiled a
+            # k_pool=1 executable while the real render's k_pool could
+            # differ, so the first render still paid full compilation).
+            # Pool-mode shapes are keyed by k_pool (the per-wave sample
+            # count is traced), so one sample per pool slot compiles the
+            # real executable; queue-mode shapes are keyed by the full
+            # film plane, so only the full-spp render warms them.
+            from ..renderer import plan_pool, resolve_engine, resolve_mode
+
+            mode = resolve_mode(scene, cfg["mode"], mesh=mesh,
+                                bvh=cfg["bvh"], engine=cfg["engine"],
+                                spp=kw["spp"])
+            if mode != "queue":
+                k_pool, _, _ = plan_pool(
+                    scene, cfg["width"], cfg["height"], kw["spp"],
+                    cfg["rays_per_wave"], cfg["samples_per_wave"],
+                    engine=resolve_engine(scene, cfg["engine"]))
+                kw["spp"] = k_pool
         t0 = time.perf_counter()
         img = render(scene, camera, cfg["width"], cfg["height"], mesh=mesh,
                      progress=False, **kw)
@@ -127,9 +152,11 @@ class RenderServer:
                 "width": cfg["width"], "height": cfg["height"]}
         if cmd == "warm":
             resp["warmed"] = True
+            self._warms += 1
         else:
             film.write_image(img, out)
             resp["out"] = out
+            self._renders += 1
         return resp
 
 
