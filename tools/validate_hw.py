@@ -96,14 +96,8 @@ def main() -> int:
         t_h = np.where(both, bt_h, 0.0)
         t_c = np.where(both, bt_c, 0.0)
         firm = both & (np.abs(t_h - t_c) > 1e-5 * np.maximum(np.abs(t_c), 1.0))
-        i_bad = int((firm & (bi_h != bi_c)).sum())
-        # attribution: a real phantom-hit regression must be nameable from
-        # the driver log alone (scene + lane + prim + both t values)
-        for lane in np.nonzero(firm)[0][:5]:
-            print(f"  {name}: firm diff lane {lane}: "
-                  f"t_hw={bt_h[lane]:.6g} t_cpu={bt_c[lane]:.6g} "
-                  f"prim_hw={int(bi_h[lane])} prim_cpu={int(bi_c[lane])}"
-                  f"{' PRIM-MISMATCH' if bi_h[lane] != bi_c[lane] else ''}")
+        prim_diff = firm & (bi_h != bi_c)
+        i_bad = int(prim_diff.sum())
         # grazing hits of r=1000 ground spheres cancel catastrophically
         # (same conditioning note as tests/test_pallas.py rtol=5e-4):
         # p99.9 stays ~1e-4..1e-3 on those scenes, max can reach a few %
@@ -111,6 +105,16 @@ def main() -> int:
               and np.quantile(rel, 0.999) < 1e-3 and i_bad <= R // 50000)
         if not ok:
             failures += 1
+        # attribution: a phantom-hit regression must be nameable from the
+        # driver log alone (scene + lane + prim + both t values).  Prim
+        # mismatches always print; plain t diffs only on a failed sweep
+        # (they are ulp-scale noise by the thousands on curved scenes)
+        detail = prim_diff if ok else firm
+        for lane in np.nonzero(detail)[0][:5]:
+            print(f"  {name}: firm diff lane {lane}: "
+                  f"t_hw={bt_h[lane]:.6g} t_cpu={bt_c[lane]:.6g} "
+                  f"prim_hw={int(bi_h[lane])} prim_cpu={int(bi_c[lane])}"
+                  f"{' PRIM-MISMATCH' if bi_h[lane] != bi_c[lane] else ''}")
         print(f"{name:20s} sweep {'OK' if ok else 'FAIL'}: "
               f"hits {int(both.sum())}/{R}, mask-diff {mask_diff}, "
               f"rel t max {rel.max():.2e} p99.9 "

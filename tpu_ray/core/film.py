@@ -11,7 +11,8 @@ import sys
 
 import numpy as np
 
-__all__ = ["to_rgb8", "write_ppm", "ppm_string", "write_png", "write_image"]
+__all__ = ["to_rgb8", "write_ppm", "ppm_string", "ppm_body_rows",
+           "write_png", "write_image", "ProgressiveOutput"]
 
 
 def to_rgb8(img) -> np.ndarray:
@@ -35,23 +36,92 @@ def ppm_string(rgb8: np.ndarray) -> str:
     fallback otherwise.
     """
     h, w, _ = rgb8.shape
-    header = f"P3\n{w} {h}\n255\n"
-    try:
-        from ..native import ppm_body
-
-        body = ppm_body(rgb8)
-        if body is not None:
-            return header + body
-    except Exception:
-        pass
-    flat = rgb8.reshape(h, w * 3)
-    return header + "\n".join(" ".join(map(str, row)) for row in flat) + "\n"
+    return f"P3\n{w} {h}\n255\n" + ppm_body_rows(rgb8)
 
 
 def write_ppm(rgb8: np.ndarray, fp=None) -> None:
     """Stream a P3 PPM to ``fp`` (default stdout), like the reference CLI."""
     out = fp if fp is not None else sys.stdout
     out.write(ppm_string(rgb8))
+
+
+def ppm_body_rows(rgb8: np.ndarray) -> str:
+    """P3 body text (no header) for a (H, W, 3) uint8 row block."""
+    try:
+        from ..native import ppm_body
+
+        body = ppm_body(np.ascontiguousarray(rgb8))
+        if body is not None:
+            return body
+    except Exception:
+        pass
+    h, w, _ = rgb8.shape
+    if h == 0:
+        return ""
+    flat = rgb8.reshape(h, w * 3)
+    return "\n".join(" ".join(map(str, row)) for row in flat) + "\n"
+
+
+class ProgressiveOutput:
+    """Progressive render output (reference: app/Main.hs:62 streams each
+    finished row to stdout as it is computed, so a crashed run keeps
+    everything rendered so far in the output file).
+
+    Two modes, chosen by ``path``:
+
+    - ``None``/``'-'``: stream P3 PPM rows to stdout the moment they are
+      FINAL (all spp accumulated) - top-to-bottom, matching the
+      reference's row order.  Rows that never finalize early (unbanded
+      renders) are emitted by :meth:`finish`.
+    - a file path: atomically rewrite the file with the CURRENT estimate
+      on every update, so the image can be watched as it converges and a
+      crash keeps the latest partial frame.
+
+    Feed it to ``render(on_partial=po.update)`` and call
+    ``po.finish(final_img)`` afterwards.
+    """
+
+    def __init__(self, path: str | None, width: int, height: int, fp=None):
+        self.path = None if path in (None, "-") else path
+        self.w, self.h = width, height
+        self.fp = fp
+        self.rows_emitted = 0
+        self._header_done = False
+
+    def _stream_rows(self, img, rows_final: int) -> None:
+        out = self.fp if self.fp is not None else sys.stdout
+        if not self._header_done:
+            out.write(f"P3\n{self.w} {self.h}\n255\n")
+            self._header_done = True
+        if rows_final > self.rows_emitted:
+            rgb8 = to_rgb8(img[self.rows_emitted:rows_final])
+            out.write(ppm_body_rows(rgb8))
+            self.rows_emitted = rows_final
+        out.flush()
+
+    def update(self, img, rows_final: int) -> None:
+        if self.path is None:
+            self._stream_rows(img, rows_final)
+            return
+        rgb8 = to_rgb8(img)
+        tmp = self.path + ".tmp"
+        if self.path.endswith(".ppm"):
+            with open(tmp, "w") as f:
+                write_ppm(rgb8, f)
+        else:
+            from PIL import Image
+
+            Image.fromarray(rgb8, "RGB").save(tmp, format="PNG")
+        import os
+
+        os.replace(tmp, self.path)  # readers never see a torn image
+
+    def finish(self, img) -> None:
+        """Write whatever the progressive updates have not yet emitted."""
+        if self.path is None:
+            self._stream_rows(img, self.h)
+        else:
+            self.update(img, self.h)
 
 
 def write_png(rgb8: np.ndarray, path: str) -> None:

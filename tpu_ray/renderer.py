@@ -381,7 +381,7 @@ def make_wave_fn(scene: SceneData, camera: Camera, width: int, height: int,
 
 def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                   rays_per_wave, engine, progress, checkpoint_path,
-                  checkpoint_every, mesh=None, rr_depth=0):
+                  checkpoint_every, mesh=None, rr_depth=0, on_partial=None):
     """Work-queue render driver (integrator.trace_queue): sample chunks
     sized by the film-plane budget, per-chunk checkpointing, epoch-level
     progress.  Returns the (H, W, 3) mean image.  With a mesh, each
@@ -484,6 +484,10 @@ def _render_queue(scene, camera, width, height, spp, max_depth, seed,
                 (c + 1) % checkpoint_every == 0 and c + 1 < n_chunks:
             np.savez(checkpoint_path[:-4], accum=np.asarray(film),
                      waves_done=c + 1, config=config_tag)
+        if on_partial is not None and c + 1 < n_chunks:
+            done_spp = chunk_s0s[c] + cs
+            on_partial(np.asarray(film).reshape(height, width, 3) / done_spp,
+                       0)
     if progress:
         print("", file=sys.stderr)
     if auto_ckpt:
@@ -513,6 +517,7 @@ def render(
     checkpoint_every: int = 0,
     rr_depth: int = 0,
     adaptive: float = 0.0,
+    on_partial=None,
     _row0: int = 0,
     _rows: Optional[int] = None,
     _band_cap: Optional[int] = None,
@@ -530,6 +535,13 @@ def render(
     sampling at that tone-mapped standard-error tolerance; ``spp`` becomes
     the per-pixel budget cap (tpu_ray/adaptive.py; with a mesh, each
     round's worklist shards over the devices).
+
+    ``on_partial(img, rows_final)``, if given, is called after every wave
+    (pool/mesh), chunk (queue) or completed band with the CURRENT
+    full-frame mean estimate and the number of TOP image rows that are
+    already final (all spp accumulated; nonzero only for band-tiled
+    renders, which finish top-to-bottom like the reference's row
+    streaming, app/Main.hs:62).  Not supported with ``adaptive``.
     """
     if adaptive and adaptive > 0:
         from .adaptive import render_adaptive
@@ -548,7 +560,8 @@ def render(
         return _render_queue(
             scene, camera, width, height, spp, max_depth, seed,
             rays_per_wave, engine, progress, checkpoint_path,
-            checkpoint_every, mesh=mesh, rr_depth=rr_depth)
+            checkpoint_every, mesh=mesh, rr_depth=rr_depth,
+            on_partial=on_partial)
 
     # if one slot per pixel already exceeds the big-scene lane cap, render
     # in horizontal bands so plan_pool's device limits actually hold
@@ -563,19 +576,30 @@ def render(
         # bands compose with meshes: each band is rendered (sharded or not)
         # with GLOBAL slot ids, so banded == unbanded bit-for-bit
         band_h = max(1, cap // width)
-        bands = []
+        frame = np.zeros((height, width, 3), np.float32)
         for row0 in range(0, height, band_h):
             bh = min(band_h, height - row0)
             ck = (f"{checkpoint_path}.band{row0}" if checkpoint_path else None)
-            bands.append(render(
+            band_cb = None
+            if on_partial is not None:
+                # compose the child band's partial into the full frame;
+                # rows above this band are final (bands finish in order)
+                def band_cb(img, rows_final_band, _r0=row0, _bh=bh):
+                    full = frame.copy()
+                    full[_r0:_r0 + _bh] = img
+                    on_partial(full, _r0 + rows_final_band)
+            frame[row0:row0 + bh] = render(
                 scene, camera, width, height, spp,
                 max_depth=max_depth, seed=seed, rays_per_wave=rays_per_wave,
                 samples_per_wave=samples_per_wave, mode=mode, bvh=bvh,
                 engine=engine, mesh=mesh, progress=progress,
                 checkpoint_path=ck, rr_depth=rr_depth,
-                checkpoint_every=checkpoint_every, _row0=row0, _rows=bh,
-            ))
-        return np.concatenate(bands, axis=0)
+                checkpoint_every=checkpoint_every, on_partial=band_cb,
+                _row0=row0, _rows=bh,
+            )
+            if on_partial is not None:
+                on_partial(frame.copy(), row0 + bh)
+        return frame
 
     bvh_arrays = None
     if bvh:
@@ -742,6 +766,10 @@ def render(
             )
         elif throttle:
             np.asarray(accum[0, 0])  # device->host fetch = real completion
+        if on_partial is not None and w + 1 < n_units:
+            done_waves = min((w + 1) * max(D, 1), n_waves)
+            done_spp = max(1, min(done_waves * wave_spp, spp))
+            on_partial(np.asarray(accum) / done_spp, 0)
         timer.stop()
     if progress:
         print(f"\n{timer.summary()}", file=sys.stderr)

@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "features, not a Monte-Carlo integral")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
+    p.add_argument("--progressive", action="store_true",
+                   help="emit output as it renders (reference parity: "
+                        "app/Main.hs:62 streams each finished row, so a "
+                        "crashed run keeps everything rendered so far). "
+                        "With --out -: stream PPM rows the moment they are "
+                        "final (band-tiled renders finish top-to-bottom). "
+                        "With --out PATH: atomically rewrite PATH with the "
+                        "current estimate after every wave/chunk/band")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--serve", action="store_true",
@@ -254,6 +262,14 @@ def main(argv=None) -> int:
 
     from .profiling import profile_trace
 
+    prog = None
+    if args.progressive:
+        if args.adaptive:
+            print("[progressive] ignoring --progressive: adaptive renders "
+                  "have no fixed wave schedule", file=sys.stderr)
+        else:
+            prog = film.ProgressiveOutput(args.out, args.width, args.height)
+
     t_start = time.perf_counter()
     with profile_trace(args.profile):
         img = render(
@@ -264,9 +280,13 @@ def main(argv=None) -> int:
             engine=args.engine, bvh=args.bvh, mode=args.mode,
             checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
             rr_depth=args.rr_depth, adaptive=args.adaptive,
+            on_partial=prog.update if prog else None,
         )
     elapsed = time.perf_counter() - t_start
-    film.write_image(img, None if args.out == "-" else args.out)
+    if prog is not None:
+        prog.finish(img)
+    else:
+        film.write_image(img, None if args.out == "-" else args.out)
     if args.time:
         print(f"render wall time: {elapsed:.3f}s", file=sys.stderr)
     print("Done.", file=sys.stderr)
