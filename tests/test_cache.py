@@ -180,3 +180,38 @@ def test_stats_listener_counts_hits_and_misses():
     after = c.cache_stats()
     assert after["hits"] - before["hits"] == 1
     assert after["misses"] - before["misses"] == 2
+
+
+def test_cache_keys_independent_of_cache_dir(tmp_path):
+    """THE round-3 cold-start killer: jax's persistent-cache 'XLA caches'
+    feature writes the cache DIRECTORY PATH into the hashed compile
+    options, so entries staged in one directory could never hit from
+    another (prebuilt/xla was staged in /tmp, consumed from ~/.cache).
+    enable_compilation_cache must produce identical keys in any dir."""
+    import json
+    import subprocess
+    import sys
+
+    script = r"""
+import json, os, sys
+sys.path.insert(0, sys.argv[2])
+from tpu_ray.utils.cache import enable_compilation_cache
+os.environ["TPU_RAY_PREBUILT"] = "0"
+d = enable_compilation_cache(sys.argv[1])
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+f = jax.jit(lambda x: jnp.sin(x) * 3 + 1)
+f(jnp.ones((16, 16), jnp.float32)).block_until_ready()
+print(json.dumps(sorted(os.listdir(d))))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    keys = []
+    for sub in ("deep/nested/cache_a", "b"):
+        d = tmp_path / sub
+        r = subprocess.run(
+            [sys.executable, "-c", script, str(d), repo],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        keys.append(json.loads(r.stdout.splitlines()[-1]))
+    assert keys[0] == keys[1]
+    assert keys[0]  # non-empty: entries were actually written

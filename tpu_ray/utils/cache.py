@@ -10,31 +10,31 @@ Call :func:`enable_compilation_cache` before the first jit execution; it is
 idempotent and safe on backends that don't support the cache (the config
 simply has no effect there).
 
-Key stability across backend redeployments
-------------------------------------------
-JAX's cache key hashes ``backend.platform_version`` verbatim.  On the
-tunneled TPU backend that string ends in a build stamp::
+Key relocatability and stability
+--------------------------------
+Round 3 shipped 44 MB of prebuilt entries that missed 100% in the
+driver's environment (BENCH_r03: 609.8 s cold despite the cache).  Root
+cause, proven by diffing serialized compile options across processes:
+jax's ``persistent_cache_enable_xla_caches`` feature writes the cache
+DIRECTORY PATH into ``debug_options`` (``xla_gpu_kernel_cache_file``,
+``xla_gpu_per_fusion_autotune_cache_dir``), and those absolute paths are
+hashed into every cache key - so entries staged under
+``/tmp/prebuilt_stage`` could never hit from ``~/.cache/tpu_ray/xla``.
+Those XLA caches are GPU-only (worthless on TPU); we disable them, making
+keys relocatable (pinned by tests/test_cache.py).
 
-    PJRT C API
-    axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat c49
-    TFRT TPU v5 lite
-    Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709
+Separately, the key hashes ``backend.platform_version`` verbatim; on the
+tunneled TPU backend that string ends in a per-deployment build stamp
+(``Built on Nov 12 2025 ... cl/831091709``) that would shift every key on
+a backend redeploy even though the backend publishes explicit
+compatibility markers (``SerializedExecutable v9; compile-cache v14;
+compat c49``).  We hash the version with the build-stamp line stripped:
+a REAL format change still shifts keys via the markers, and a stale entry
+can only fall back to a fresh compile (jax ``_cache_read`` catches all
+deserialization errors unless ``jax_raise_persistent_cache_errors`` is
+set) - worst case equals a miss, never a wrong result.
 
-Every backend redeployment changes the ``Built on ...`` line, shifting
-EVERY cache key and invalidating both the live cache and the repo-shipped
-prebuilt entries (measured: round 3's bench paid a 609.8 s cold compile
-despite 203 shipped prebuilt entries; the same code + shapes produce keys
-today that round 3's 770-entry cache never contained).  The real
-compatibility contract is the explicit markers the backend publishes
-(``SerializedExecutable v9; compile-cache v14; compat c49``) - so we hash
-the version string with the build-stamp line stripped.  If the executable
-format truly changes, those markers change and keys shift correctly; if a
-stale entry somehow survives, JAX's cache read falls back to a fresh
-compile on any deserialization error (jax/_src/compiler.py ``_cache_read``
-catches all exceptions unless ``jax_raise_persistent_cache_errors`` is
-set), so the worst case equals a cache miss, never a wrong result.
-
-Set ``TPU_RAY_EXACT_CACHE_KEY=1`` to keep JAX's verbatim keying.
+Set ``TPU_RAY_EXACT_CACHE_KEY=1`` to keep JAX's verbatim platform keying.
 """
 from __future__ import annotations
 
@@ -163,6 +163,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # CRITICAL for relocatable caches: by default jax also enables XLA's
+    # GPU kernel/autotune caches at paths UNDER cache_dir and writes those
+    # ABSOLUTE PATHS into debug_options (jax/_src/compiler.py
+    # get_compile_options) - which are hashed into every cache key, so a
+    # cache keyed in one directory can never hit from another (this, not
+    # backend churn, is how round 3's /tmp-staged prebuilt entries missed
+    # the driver's ~/.cache consumer en masse; proven by diffing the
+    # serialized compile options across two cache dirs).  The caches are
+    # GPU-only - worthless on TPU - so turn them off entirely.
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass  # future jax: accept dir-dependent keys rather than crash
     # cache EVERYTHING: through the remote-worker tunnel even an eager
     # convert_element_type costs ~0.4 s to compile, and a render's ~40
     # scene-build/driver mini-ops add ~16 s of pure compile to every cold
