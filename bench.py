@@ -17,8 +17,12 @@ The JSON also carries ``validated``: tools/validate_hw.py's
 hardware-vs-interpret sweep + render check across the scene library ran
 and passed (VERDICT round 2 item 6).  Use --no-validate to skip.
 
-Extra configs (Cornell 1000 spp, next-week) are benchmarked via --suite;
-the headline stays book1 so vs_baseline is apples-to-apples.
+Extra configs are benchmarked via --suite (default: all five headline
+configs); the headline stays book1 so vs_baseline is apples-to-apples.
+The JSON also carries cache receipts (``cache_hits``/``cache_misses``/
+``prebuilt_synced``) so a cold-start regression is attributable from the
+driver log alone, and a warm child whose warmup exceeds the measured
+warm-path anatomy by 3x is re-run once and flagged ``warm_anomalous``.
 """
 from __future__ import annotations
 
@@ -288,7 +292,10 @@ def main(argv=None) -> int:
                    help="run the measurement in-process (internal)")
     p.add_argument("--prewarm", action="store_true",
                    help="compile the whole suite's executables into the "
-                        "persistent cache (no timing, no JSON)")
+                        "persistent cache (no timing, no JSON); one child "
+                        "process per config so keys match bench children")
+    p.add_argument("--prewarm-one", default=None, metavar="CONFIG",
+                   help="prewarm one config in-process (internal)")
     p.add_argument("--attempts", type=int, default=3)
     p.add_argument("--suite",
                    default="next-week,cornell,two-spheres,cornell-smoke",
@@ -303,16 +310,37 @@ def main(argv=None) -> int:
                         "attempts (for configs that crash the remote worker)")
     args = p.parse_args(argv)
 
-    if args.prewarm:
+    if args.prewarm_one:
         from tpu_ray.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        warmup(args.prewarm_one, args.rays_per_wave, engine=args.engine,
+               bvh=args.bvh, rr_depth=args.rr_depth)
+        return 0
+
+    if args.prewarm:
+        # one SUBPROCESS per config: cache keys are stable across fresh
+        # processes but depend on in-process compile HISTORY (a config
+        # warmed after another keys its big executables differently -
+        # measured: a single-process prewarm left two-spheres' staged-
+        # ladder executables unhittable by fresh consumers).  Bench's
+        # timed children each run one config per process, so prewarming
+        # the same way guarantees key equality.
         for config in [args.config] + [c for c in args.suite.split(",")
                                        if c and c != args.config]:
             t0 = time.perf_counter()
-            warmup(config, args.rays_per_wave, engine=args.engine,
-                   bvh=args.bvh, rr_depth=args.rr_depth)
-            print(f"[bench] prewarmed {config}: "
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--prewarm-one", config,
+                 "--rays-per-wave", str(args.rays_per_wave),
+                 "--engine", args.engine]
+                + (["--bvh"] if args.bvh else [])
+                + (["--rr-depth", str(args.rr_depth)] if args.rr_depth
+                   else []),
+                capture_output=True, text=True, timeout=3600)
+            sys.stderr.write(r.stderr[-2000:])
+            status = "prewarmed" if r.returncode == 0 else "FAILED to prewarm"
+            print(f"[bench] {status} {config}: "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         return 0
 
