@@ -215,3 +215,19 @@ print(json.dumps(sorted(os.listdir(d))))
         keys.append(json.loads(r.stdout.splitlines()[-1]))
     assert keys[0] == keys[1]
     assert keys[0]  # non-empty: entries were actually written
+
+
+def test_cache_normalizes_mosaic_kernel_locations():
+    """Pallas kernels serialize Python traceback LOCATIONS (including the
+    entry script's frames) into their tpu_custom_call payload, which the
+    key's strip-debuginfo pass cannot reach - five different entry
+    scripts produced five different keys for one ladder executable.
+    enable_compilation_cache must pin locations to the nearest user
+    frame (the stable in-package call site)."""
+    import jax
+
+    from tpu_ray.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    assert jax.config.jax_include_full_tracebacks_in_locations is False
+    assert jax.config.jax_persistent_cache_enable_xla_caches == "none"

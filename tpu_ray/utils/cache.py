@@ -176,6 +176,18 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass  # future jax: accept dir-dependent keys rather than crash
+    # ALSO critical: Pallas/Mosaic kernels serialize into tpu_custom_call
+    # backend_config WITH their Python traceback locations - frames from
+    # the top-level script included - and the cache key's strip-debuginfo
+    # pass cannot reach inside that payload.  Full tracebacks make every
+    # distinct entry point (bench --child vs --prewarm vs a user script)
+    # key the same kernel differently (measured: five scripts, five keys
+    # for the identical ladder executable).  Keep only the nearest user
+    # frame, which for our kernels is the stable tpu_ray call site.
+    try:
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    except Exception:
+        pass
     # cache EVERYTHING: through the remote-worker tunnel even an eager
     # convert_element_type costs ~0.4 s to compile, and a render's ~40
     # scene-build/driver mini-ops add ~16 s of pure compile to every cold
