@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "features, not a Monte-Carlo integral")
     p.add_argument("--bvh", action="store_true",
                    help="intersect via BVH traversal instead of brute force")
+    p.add_argument("--denoise", action="store_true",
+                   help="cross-bilateral denoise of the beauty pass guided "
+                        "by the first-hit AOVs (tpu_ray/denoise.py - the "
+                        "OIDN-style post-process; biased like every "
+                        "practical denoiser, so never the default). Renders "
+                        "the albedo/normal/depth guides at <=16 spp on top "
+                        "of the beauty pass")
+    p.add_argument("--denoise-radius", type=int, default=3, metavar="R",
+                   help="denoiser window radius (window is (2R+1)^2)")
     p.add_argument("--progressive", action="store_true",
                    help="emit output as it renders (reference parity: "
                         "app/Main.hs:62 streams each finished row, so a "
@@ -283,6 +292,24 @@ def main(argv=None) -> int:
             on_partial=prog.update if prog else None,
         )
     elapsed = time.perf_counter() - t_start
+    if args.denoise:
+        import numpy as np
+
+        from ..aov import render_aovs
+        from ..denoise import denoise as _denoise
+        from ..renderer import resolve_engine
+
+        aov_engine = resolve_engine(scene, args.engine)
+        if aov_engine not in ("xla", "pallas"):
+            aov_engine = "xla"
+        aovs = render_aovs(scene, camera, args.width, args.height,
+                           spp=min(args.spp, 16), seed=args.seed,
+                           engine=aov_engine)
+        img = np.asarray(_denoise(img, aovs["albedo"], aovs["normal"],
+                                  aovs["depth"],
+                                  radius=args.denoise_radius))
+        print("denoised (cross-bilateral, AOV-guided, "
+              f"r={args.denoise_radius})", file=sys.stderr)
     if prog is not None:
         prog.finish(img)
     else:
