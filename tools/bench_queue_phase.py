@@ -96,10 +96,12 @@ def main():
 
     def run(ablate):
         st = fresh_state()
+        # positional tail: max_depth=50, rr_depth=0, then ablate (the
+        # rr_depth slot grew under this tool once - keyed by position)
         ep = lambda s: integ._queue_epoch(
             s, scene, camera, k_isect, k_scat, jnp.uint32(0), jnp.uint32(0),
             total, R, args.iters, 0, args.width, args.height, engine, fused,
-            50, ablate)
+            50, 0, ablate)
         st = ep(st)              # warmup/compile
         int(st.frontier)         # sync
         t0 = time.perf_counter()

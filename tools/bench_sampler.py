@@ -35,6 +35,12 @@ def main() -> int:
     p.add_argument("--max-depth", type=int, default=50)
     p.add_argument("--seeds", type=int, default=1,
                    help="report mean MSE over this many render seeds")
+    p.add_argument("--samplers", default="uniform,sobol",
+                   help="comma list: uniform, sobol, sobol-b0 (the "
+                        "first-bounce QMC probe; force --mode queue "
+                        "--engine xla, the only path implementing it)")
+    p.add_argument("--mode", default="auto")
+    p.add_argument("--engine", default="auto")
     args = p.parse_args()
 
     spec = SCENES[args.scene]
@@ -47,37 +53,45 @@ def main() -> int:
     # truth seed must not collide with any comparison seed (a shared seed
     # at lower spp is a prefix of the truth's sample stream -> correlated)
     truth = np.asarray(render(scene, cam, n, n, spp=args.truth_spp,
-                              max_depth=args.max_depth, seed=101))
+                              max_depth=args.max_depth, seed=101,
+                              mode=args.mode, engine=args.engine))
 
     budgets = [int(s) for s in args.spp.split(",")]
+    samplers = [s for s in args.samplers.split(",") if s]
     rows = []
     for spp in budgets:
         row = {"spp": spp}
-        for sampler in ("uniform", "sobol"):
+        for sampler in samplers:
             c = cam.replace(sampler=sampler)
             # warm the executable, then time; MSE is the mean over seeds
-            render(scene, c, n, n, spp=spp, max_depth=args.max_depth, seed=3)
+            render(scene, c, n, n, spp=spp, max_depth=args.max_depth, seed=3,
+                   mode=args.mode, engine=args.engine)
             mses, wall = [], 0.0
             for s in range(args.seeds):
                 t0 = time.perf_counter()
                 img = np.asarray(render(scene, c, n, n, spp=spp,
-                                        max_depth=args.max_depth, seed=3 + s))
+                                        max_depth=args.max_depth, seed=3 + s,
+                                        mode=args.mode, engine=args.engine))
                 wall += time.perf_counter() - t0
                 mses.append(float(np.mean((img - truth) ** 2)))
             row[sampler] = (float(np.mean(mses)), wall / args.seeds)
-        u, q = row["uniform"][0], row["sobol"][0]
         rows.append(row)
-        print(f"[sampler] spp={spp:5d}  uniform mse={u:.3e} "
-              f"({row['uniform'][1]:.2f}s)  sobol mse={q:.3e} "
-              f"({row['sobol'][1]:.2f}s)  ratio={u / q:.2f}x", file=sys.stderr)
+        base = row[samplers[0]][0]
+        print("[sampler] spp=%5d  " % spp + "  ".join(
+            f"{sm} mse={row[sm][0]:.3e} ({row[sm][1]:.2f}s, "
+            f"{base / row[sm][0]:.2f}x)" for sm in samplers),
+            file=sys.stderr)
 
-    print("\n| spp | uniform MSE | sobol MSE | variance ratio | "
-          "uniform s | sobol s |")
-    print("|---|---|---|---|---|---|")
+    print("\n| spp | " + " | ".join(
+        f"{sm} MSE | {sm} s" for sm in samplers) + " | ratio vs first |")
+    print("|---" * (2 * len(samplers) + 2) + "|")
     for r in rows:
-        u, q = r["uniform"], r["sobol"]
-        print(f"| {r['spp']} | {u[0]:.3e} | {q[0]:.3e} | "
-              f"{u[0] / q[0]:.2f}x | {u[1]:.2f} | {q[1]:.2f} |")
+        cells = []
+        for sm in samplers:
+            cells += [f"{r[sm][0]:.3e}", f"{r[sm][1]:.2f}"]
+        cells.append(" / ".join(
+            f"{r[samplers[0]][0] / r[sm][0]:.2f}x" for sm in samplers[1:]))
+        print(f"| {r['spp']} | " + " | ".join(cells) + " |")
     return 0
 
 

@@ -75,6 +75,19 @@ _SOBOL3_V = _sobol_dirs(2, 1, [1, 3])
 _SOBOL4_V = _sobol_dirs(3, 1, [1, 3, 1])
 _SOBOL5_V = _sobol_dirs(3, 2, [1, 1, 1])
 
+# Dimensions 6-10: the FIRST-BOUNCE scatter draws of the ``sobol-b0``
+# probe sampler (ops/scatter.py column layout): the light/cosine mixture
+# coin (col 0), the quad-light uv pair (cols 2-3) and the cosine-
+# hemisphere pair (cols 6-7).  Deeper bounces keep the hash stream -
+# path decorrelation washes out low-discrepancy structure past the first
+# vertex, and 10 joint dims is where Sobol' 2D projections start to
+# degrade anyway.
+_SOBOL6_V = _sobol_dirs(4, 1, [1, 1, 3, 3])
+_SOBOL7_V = _sobol_dirs(4, 4, [1, 3, 5, 13])
+_SOBOL8_V = _sobol_dirs(5, 2, [1, 1, 5, 5, 17])
+_SOBOL9_V = _sobol_dirs(5, 4, [1, 1, 5, 5, 5])
+_SOBOL10_V = _sobol_dirs(5, 7, [1, 1, 7, 11, 19])
+
 
 def _fmix(x: jnp.ndarray) -> jnp.ndarray:
     """murmur3 finalizer (core/rng._murmur3_fmix, restated so kernels can
@@ -192,3 +205,31 @@ def lens_time_uniforms(slot: jnp.ndarray, sidx: jnp.ndarray, salt) -> tuple:
     to_f = lambda v: (v >> np.uint32(8)).astype(jnp.int32).astype(
         jnp.float32) * scale
     return to_f(r), to_f(p), to_f(t)
+
+
+def bounce0_uniforms(slot: jnp.ndarray, sidx: jnp.ndarray, salt) -> tuple:
+    """Owen-scrambled Sobol' dims 6-10 for (slot, sample index): the
+    first-bounce scatter draws of the ``sobol-b0`` probe sampler.
+
+    Returns five f32 arrays in [0, 1) destined for ops/scatter columns
+    (0, 2, 3, 6, 7): mixture coin, quad-light uv, cosine-hemisphere uv.
+    Same contract as :func:`pixel_uniforms`; the scramble-seed chain
+    continues from :func:`lens_time_uniforms`' so all ten dims carry
+    independent scrambles of one Sobol' point.
+    """
+    slot = slot.astype(jnp.uint32)
+    sidx = sidx.astype(jnp.uint32)
+    salt = jnp.asarray(salt, jnp.uint32)
+    s = _fmix(slot + GOLD) ^ (salt * _MIX1)
+    for _ in range(4):  # advance past the five camera-dim seeds
+        s = _fmix(s + GOLD)
+    seeds = []
+    for _ in range(5):
+        s = _fmix(s ^ _MIX2)
+        seeds.append(s)
+    dirs = (_SOBOL6_V, _SOBOL7_V, _SOBOL8_V, _SOBOL9_V, _SOBOL10_V)
+    scale = jnp.float32(1.0 / (1 << 24))
+    return tuple(
+        (owen_scramble(sobol_bits(sidx, d), sd) >> np.uint32(8))
+        .astype(jnp.int32).astype(jnp.float32) * scale
+        for d, sd in zip(dirs, seeds))

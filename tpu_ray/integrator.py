@@ -233,7 +233,7 @@ def _make_pool_loop(scene, camera, k_loop, n_samples, sample0, cam_salt,
         )
         jx, jy = u5[:, 0], u5[:, 1]
         u3 = u5[:, 2:5]
-        if camera.sampler == "sobol":
+        if camera.sampler in ("sobol", "sobol-b0"):
             # low-discrepancy camera sample (core/qmc.py): scrambled
             # Sobol' dims 1-2 on the pixel, 3-5 on lens disk + time
             gs = sample0 + state.sample.astype(jnp.uint32)
@@ -703,7 +703,35 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
     else:
         isect = _make_isect(scene, None, engine)
         rec = isect(st.origin, st.direction, st.time, k_isect, sid)
-        sc = scatter(scene, k_scat, st.direction, rec, sid)
+        u_sc = None
+        if camera.sampler == "sobol-b0":
+            # probe sampler (PERFLOG "bounce-dim QMC"): FIRST-bounce scatter
+            # draws come from Owen-Sobol dims 6-10 keyed (pixel, global
+            # sample) - same contract as the camera dims - so each pixel's
+            # first-vertex mixture coin / light uv / cosine uv are jointly
+            # stratified with its camera sample.  Deeper bounces keep the
+            # hash stream.  XLA queue path only (fused kernels fall back to
+            # sobol camera dims + hash scatter).
+            u_sc = rng_mod.lane_uniforms(k_scat, sid, 14)
+            if worklist is None:
+                lane_pix = (st.work % (width * height)).astype(jnp.uint32)
+                lane_gs = (chunk_s0
+                           + st.work // (width * height)).astype(jnp.uint32)
+            else:
+                lp = worklist[jnp.clip(st.work, 0, worklist.shape[0] - 1)]
+                lane_pix = (lp >> jnp.uint32(WL_SAMP_BITS)).astype(jnp.uint32)
+                lane_gs = lp & jnp.uint32(WL_SAMP_MASK)
+            q5 = qmc.bounce0_uniforms(lane_pix, lane_gs, cam_salt)
+            b0 = st.bounce == 0
+            # the mixture COIN (col 0) stays hashed: a QMC coin makes each
+            # branch consume a structured SUBSET of the uv dims' indices,
+            # breaking their net property (measured: cornell 64spp MSE
+            # 1.7x WORSE with a Sobol coin; PERFLOG "Bounce-dim QMC").
+            # Both uv pairs are computed unconditionally per lane, so their
+            # full per-pixel prefixes stay stratified.
+            for col, qv in zip((2, 3, 6, 7), q5):
+                u_sc = u_sc.at[:, col].set(jnp.where(b0, qv, u_sc[:, col]))
+        sc = scatter(scene, k_scat, st.direction, rec, sid, u=u_sc)
         miss = st.active & ~rec.hit
         emit = st.active & rec.hit & ~sc.scattered
         cont = st.active & rec.hit & sc.scattered
@@ -788,7 +816,7 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
             pix.astype(jnp.uint32), gsample ^ cam_salt, 5)
         jx, jy = u5[:, 0], u5[:, 1]
         u3 = u5[:, 2:5]
-        if camera.sampler == "sobol":
+        if camera.sampler in ("sobol", "sobol-b0"):
             # keyed (slot=pixel, PLAIN gsample) exactly like trace_pool's
             # regen: the camera stream is schedule-independent here too
             jx, jy = qmc.pixel_uniforms(

@@ -62,7 +62,7 @@ class ScatterResult:
 
 
 def scatter(scene: SceneData, key, rd, rec: HitRecord,
-            lane_ids=None) -> ScatterResult:
+            lane_ids=None, u=None) -> ScatterResult:
     # one packed payload row pull per lane; layout in models/compile.py
     mp = vec.take_rows(scene.mat_payload, rec.mat)  # (R, 16)
     mkind = mp[:, 0].astype(jnp.int32)
@@ -81,7 +81,10 @@ def scatter(scene: SceneData, key, rd, rec: HitRecord,
     # | 10 reflect | 11:13 isotropic | 13 in-sphere radius (strict mode)
     if lane_ids is None:
         lane_ids = jnp.arange(R, dtype=jnp.uint32)
-    u = rng.lane_uniforms(key, lane_ids, 14)
+    if u is None:
+        u = rng.lane_uniforms(key, lane_ids, 14)
+    # else: caller supplies the (R, 14) draw - the sobol-b0 probe replaces
+    # first-bounce columns with low-discrepancy points (integrator._queue_body)
 
     # Each material response below is compiled only when the scene's
     # material table can reach it (static has_* flags, models/compile.py);

@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "isotropic cos/pi medium weighting) instead of the "
                         "documented fixes in ops/scatter.py")
     p.add_argument("--sampler", default="uniform",
-                   choices=("uniform", "sobol"),
+                   choices=("uniform", "sobol", "sobol-b0"),
                    help="image-plane sample generator: 'uniform' is the "
                         "reference's per-sample jitter; 'sobol' stratifies "
                         "each pixel's samples with a scrambled "
