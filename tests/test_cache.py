@@ -231,3 +231,29 @@ def test_cache_normalizes_mosaic_kernel_locations():
     enable_compilation_cache()
     assert jax.config.jax_include_full_tracebacks_in_locations is False
     assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
+
+
+def test_platform_mismatch_ignores_code_provenance(tmp_path, monkeypatch):
+    """PLATFORM.txt's trailing 'code <sha>' line is provenance for humans
+    (which commit staged the entries); the mismatch decision must use only
+    the jax + normalized backend lines."""
+    import jax
+    import jax.extend
+
+    from tpu_ray.utils import cache as c
+
+    pre = tmp_path / "prebuilt" / "xla"
+    pre.mkdir(parents=True)
+    monkeypatch.setattr(c, "_prebuilt_dir", lambda: str(pre))
+    current = "\n".join([
+        jax.version._version,
+        c.normalized_platform_version(
+            jax.extend.backend.get_backend().platform_version),
+    ]).strip()
+    (tmp_path / "prebuilt" / "PLATFORM.txt").write_text(
+        current + "\ncode 0123abc-dirty\n")
+    assert c.prebuilt_platform_mismatch() is None
+    (tmp_path / "prebuilt" / "PLATFORM.txt").write_text(
+        "jax 0.0.1\nother backend\ncode 0123abc\n")
+    msg = c.prebuilt_platform_mismatch()
+    assert msg is not None and "regenerate" in msg

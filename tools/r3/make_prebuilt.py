@@ -64,6 +64,20 @@ def write_platform_record(dst_parent: str) -> None:
             normalized_platform_version(
                 jax.extend.backend.get_backend().platform_version),
         ]).strip()
+        # provenance line (NOT part of the mismatch comparison): Pallas
+        # kernel keys embed the nearest tpu_ray call-site LINE NUMBERS
+        # (utils/cache.py traceback note), so entries staged before a
+        # tpu_ray source edit can structurally miss afterwards - record
+        # which code staged them so that failure mode is attributable.
+        try:
+            import subprocess
+            sha = subprocess.run(
+                ["git", "-C", REPO, "describe", "--always", "--dirty"],
+                capture_output=True, text=True, timeout=10).stdout.strip()
+            if sha:
+                record += f"\ncode {sha}"
+        except Exception:
+            pass
     except Exception as e:
         print(f"PLATFORM.txt not written (no backend?): {e}")
         return

@@ -126,6 +126,11 @@ def prebuilt_platform_mismatch() -> str | None:
         recorded = open(path).read().strip()
     except OSError:
         return None
+    # trailing "code <sha>" lines are provenance only (which commit staged
+    # the entries - tpu_ray source edits can re-key Pallas programs via
+    # their call-site line numbers); never part of the match decision
+    recorded = "\n".join(
+        ln for ln in recorded.splitlines() if not ln.startswith("code "))
     try:
         import jax
         import jax.extend
