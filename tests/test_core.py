@@ -139,3 +139,41 @@ def test_ppm_roundtrip():
     assert lines[0] == "P3" and lines[1] == "3 2" and lines[2] == "255"
     vals = np.array(" ".join(lines[3:]).split(), np.uint8).reshape(2, 3, 3)
     np.testing.assert_array_equal(vals, rgb)
+
+
+# float outputs (.pfm / .hdr keep LINEAR radiance - no reference analogue,
+# the reference can only quantize to PPM, app/Main.hs:59-62)
+def test_pfm_roundtrip(tmp_path):
+    img = np.array([[[0.0, 0.5, 2.25], [1.0, 0.125, 0.0]],
+                    [[3.5, 0.75, 0.25], [0.0, 0.0, 9.0]]], np.float32)
+    path = tmp_path / "x.pfm"
+    film.write_image(img, str(path))
+    raw = path.read_bytes()
+    header, rest = raw.split(b"\n", 1)
+    assert header == b"PF"
+    dims, rest = rest.split(b"\n", 1)
+    scale, body = rest.split(b"\n", 1)
+    w, h = map(int, dims.split())
+    assert (w, h) == (2, 2) and float(scale) == -1.0  # little-endian
+    a = np.frombuffer(body, "<f4").reshape(h, w, 3)[::-1]  # bottom-up rows
+    np.testing.assert_array_equal(a, img)
+
+
+def test_hdr_rgbe_decodes_to_radiance(tmp_path):
+    rng_ = np.random.default_rng(5)
+    img = (rng_.random((4, 5, 3)) * 8.0).astype(np.float32)
+    img[0, 0] = 0.0  # black pixel must encode to E=0
+    path = tmp_path / "x.hdr"
+    film.write_image(img, str(path))
+    raw = path.read_bytes()
+    assert raw.startswith(b"#?RADIANCE")
+    body = raw.split(b"\n-Y 4 +X 5\n", 1)[1]
+    rgbe = np.frombuffer(body, np.uint8).reshape(4, 5, 4).astype(np.float64)
+    e = rgbe[..., 3]
+    dec = rgbe[..., :3] * np.where(e > 0, 2.0 ** (e - 136.0), 0.0)[..., None]
+    assert (dec[0, 0] == 0.0).all()
+    m = img.max(axis=-1)
+    # shared-exponent floor quantization: absolute error is bounded by one
+    # mantissa step 2^(e-136) <= max/128 (small components share the max's
+    # exponent, so only a max-relative bound - not per-component rtol - holds)
+    assert np.all(np.abs(dec - img) <= (m[..., None] / 128.0) + 1e-12)

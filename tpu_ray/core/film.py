@@ -12,7 +12,8 @@ import sys
 import numpy as np
 
 __all__ = ["to_rgb8", "write_ppm", "ppm_string", "ppm_body_rows",
-           "write_png", "write_image", "ProgressiveOutput"]
+           "write_png", "write_pfm", "write_hdr", "write_image",
+           "ProgressiveOutput"]
 
 
 def to_rgb8(img) -> np.ndarray:
@@ -130,8 +131,51 @@ def write_png(rgb8: np.ndarray, path: str) -> None:
     Image.fromarray(rgb8, "RGB").save(path)
 
 
+def write_pfm(img, path: str) -> None:
+    """Portable FloatMap: the UNTONEMAPPED linear radiance, f32.
+
+    The reference can only emit quantized PPM; production pipelines want
+    the linear signal for compositing/denoising/regrading.  PFM is the
+    simplest interchange float format (header + raw scanlines, bottom-up
+    rows by convention; negative scale = little-endian).
+    """
+    a = np.asarray(img, np.float32)
+    h, w, _ = a.shape
+    with open(path, "wb") as f:
+        f.write(b"PF\n%d %d\n-1.0\n" % (w, h))
+        f.write(np.ascontiguousarray(a[::-1]).tobytes())
+
+
+def write_hdr(img, path: str) -> None:
+    """Radiance RGBE (.hdr): shared-exponent 8:8:8:8 of the linear
+    radiance - 4 bytes/pixel HDR, readable by every compositing tool.
+
+    Flat (uncompressed) scanlines; mantissas floor-quantized from
+    frexp's [0.5, 1) normalization per the format's definition.
+    """
+    a = np.asarray(img, np.float64)
+    a = np.nan_to_num(a, nan=0.0, posinf=1e30, neginf=0.0)
+    a = np.maximum(a, 0.0)
+    h, w, _ = a.shape
+    m = a.max(axis=-1)
+    mant, exp = np.frexp(m)  # m = mant * 2^exp, mant in [0.5, 1)
+    scale = np.where(m > 1e-32, np.ldexp(256.0, -exp), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.minimum(a * scale[..., None], 255.0).astype(np.uint8)
+    rgbe[..., 3] = np.where(m > 1e-32, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (h, w))
+        f.write(rgbe.tobytes())
+
+
 def write_image(img, path: str | None) -> None:
-    """Tone-map and write; ``None``/``-`` -> PPM on stdout, else by extension."""
+    """Tone-map and write; ``None``/``-`` -> PPM on stdout, else by
+    extension (.ppm/.png tone-mapped; .pfm/.hdr keep linear radiance)."""
+    if path is not None and path.endswith(".pfm"):
+        return write_pfm(img, path)
+    if path is not None and path.endswith(".hdr"):
+        return write_hdr(img, path)
     rgb8 = to_rgb8(img)
     if path is None or path == "-":
         write_ppm(rgb8)

@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=50)
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--out", default="-",
-                   help="output path (.png or .ppm); '-' = PPM on stdout")
+                   help="output path: .png/.ppm tone-mapped, .pfm/.hdr "
+                        "linear radiance floats; '-' = PPM on stdout")
     p.add_argument("--earthmap", default=None, help="path to earth texture image")
     p.add_argument("--rays-per-wave", type=int, default=1 << 20)
     p.add_argument("--samples-per-wave", type=int, default=64,
