@@ -135,3 +135,28 @@ def test_cli_aov_announces_ignored_flags(tmp_path):
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr
     assert "[aov] ignoring --devices, --bvh" in r.stderr
+
+
+def test_cli_aov_pfm_raw_floats(tmp_path):
+    """--out x.pfm writes each AOV as a RAW float PFM: signed normal
+    components and +inf depth misses survive losslessly (the PNG path
+    quantizes and remaps both)."""
+    out = tmp_path / "c.pfm"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_ray", "--platform", "cpu",
+         "--scene", "cornell", "--width", "12", "--height", "12",
+         "--spp", "2", "--aov", "normal,depth", "--out", str(out)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    for n in ("normal", "depth"):
+        raw = (tmp_path / f"c.{n}.pfm").read_bytes()
+        head, rest = raw.split(b"\n", 1)
+        assert head == b"PF"
+        dims, rest = rest.split(b"\n", 1)
+        _scale, body = rest.split(b"\n", 1)
+        a = np.frombuffer(body, "<f4").reshape(12, 12, 3)[::-1]
+        if n == "normal":
+            assert a.min() < 0.0  # signed components, not (n+1)/2 encoded
+        else:
+            assert np.isinf(a).any()  # the open ceiling keeps inf misses
+            assert np.isfinite(a).any()

@@ -84,7 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "beauty pass: comma list from albedo,normal,depth,"
                         "coverage, or 'all' (tpu_ray/aov.py - albedo+normal "
                         "are the standard denoiser inputs).  Each buffer is "
-                        "written to <out stem>.<name>.png; requires --out. "
+                        "written to <out stem>.<name>.png; with --out *.pfm, "
+                        "raw float buffers (signed normals, +inf depth "
+                        "misses) are written instead.  Requires --out. "
                         "Use a small --spp (e.g. 16): AOVs are first-hit "
                         "features, not a Monte-Carlo integral")
     p.add_argument("--bvh", action="store_true",
@@ -249,15 +251,27 @@ def main(argv=None) -> int:
         t_start = time.perf_counter()
         aovs = render_aovs(scene, camera, args.width, args.height,
                            spp=args.spp, seed=args.seed, engine=engine)
-        imgs = aov_images(aovs)
         stem = args.out
-        for suffix in (".png", ".ppm"):
-            if stem.lower().endswith(suffix):
-                stem = stem[: -len(suffix)]
-        for n in names:
-            rgb8 = (np.clip(imgs[n], 0.0, 1.0) * 255.999).astype(np.uint8)
-            film.write_png(rgb8, f"{stem}.{n}.png")
-            print(f"wrote {stem}.{n}.png", file=sys.stderr)
+        if stem.lower().endswith(".pfm"):
+            # RAW float buffers (albedo linear, normal signed components,
+            # depth with +inf misses, coverage fraction) - the lossless
+            # denoiser/compositing interchange; PNG path quantizes
+            stem = stem[:-4]
+            for n in names:
+                a = np.asarray(aovs[n], np.float32)
+                if a.ndim == 2:
+                    a = np.repeat(a[..., None], 3, axis=-1)
+                film.write_pfm(a, f"{stem}.{n}.pfm")
+                print(f"wrote {stem}.{n}.pfm", file=sys.stderr)
+        else:
+            imgs = aov_images(aovs)
+            for suffix in (".png", ".ppm", ".hdr"):
+                if stem.lower().endswith(suffix):
+                    stem = stem[: -len(suffix)]
+            for n in names:
+                rgb8 = (np.clip(imgs[n], 0.0, 1.0) * 255.999).astype(np.uint8)
+                film.write_png(rgb8, f"{stem}.{n}.png")
+                print(f"wrote {stem}.{n}.png", file=sys.stderr)
         if args.time:
             print(f"aov wall time: {time.perf_counter() - t_start:.3f}s",
                   file=sys.stderr)
