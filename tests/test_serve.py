@@ -177,3 +177,24 @@ def test_stats_reports_cached_scenes_and_counters(tmp_path):
     assert r["renders"] == 1 and r["warms"] == 1
     assert ["two-spheres", 1024, "fixed", None] in r["cached_scenes"]
     assert "compile_cache" in r
+
+
+def test_denoise_request(srv, tmp_path):
+    """denoise=true runs the CLI's --denoise composition (AOV pass +
+    cross-bilateral filter) before writing; pixels must differ from the
+    raw render and the response must say so."""
+    raw, den = str(tmp_path / "r.png"), str(tmp_path / "d.png")
+    r1 = srv.handle({"scene": "cornell", "width": 14, "height": 12,
+                     "spp": 4, "max_depth": 4, "out": raw})
+    r2 = srv.handle({"scene": "cornell", "width": 14, "height": 12,
+                     "spp": 4, "max_depth": 4, "out": den,
+                     "denoise": True, "denoise_radius": 2})
+    assert r1["ok"] and r2["ok"], (r1, r2)
+    assert r2.get("denoised") is True and "denoised" not in r1
+    from PIL import Image
+
+    a = np.asarray(Image.open(raw)).astype(np.int32)
+    b = np.asarray(Image.open(den)).astype(np.int32)
+    assert a.shape == b.shape == (12, 14, 3)
+    assert np.abs(a - b).max() > 0          # the filter really ran
+    assert abs(a.mean() - b.mean()) < 12.0  # and kept the exposure

@@ -15,7 +15,7 @@ Protocol (one JSON object per line):
 
 Any CLI render flag is accepted as a key (max_depth, seed, engine, mode,
 sampler, estimator, rr_depth, adaptive, devices, rays_per_wave,
-samples_per_wave).  ``out`` is required (the response channel is stdout, so
+samples_per_wave, denoise, denoise_radius).  ``out`` is required (the response channel is stdout, so
 images always go to files).  Control requests: {"cmd": "ping"} -> liveness
 probe, {"cmd": "warm", "scene": ..., ...} -> compile a config's executables
 without writing an image, {"cmd": "stats"} -> cached scenes + request and
@@ -38,7 +38,7 @@ _DEFAULTS = dict(
     width=500, height=500, spp=1000, max_depth=50, seed=1024,
     rays_per_wave=1 << 20, samples_per_wave=64, engine="auto", mode="auto",
     sampler="uniform", estimator="fixed", rr_depth=0, adaptive=0.0,
-    bvh=False, devices=0,
+    bvh=False, devices=0, denoise=False, denoise_radius=3,
 )
 
 
@@ -154,6 +154,25 @@ class RenderServer:
             resp["warmed"] = True
             self._warms += 1
         else:
+            if cfg["denoise"]:
+                # the CLI's --denoise composition: first-hit AOV pass +
+                # AOV-guided cross-bilateral filter (tpu_ray/denoise.py)
+                import numpy as np
+
+                from ..aov import render_aovs
+                from ..denoise import denoise as _denoise
+                from ..renderer import resolve_engine
+
+                aov_engine = resolve_engine(scene, cfg["engine"])
+                if aov_engine not in ("xla", "pallas"):
+                    aov_engine = "xla"
+                aovs = render_aovs(scene, camera, cfg["width"],
+                                   cfg["height"], spp=min(kw["spp"], 16),
+                                   seed=cfg["seed"], engine=aov_engine)
+                img = np.asarray(_denoise(
+                    img, aovs["albedo"], aovs["normal"], aovs["depth"],
+                    radius=cfg["denoise_radius"]))
+                resp["denoised"] = True
             film.write_image(img, out)
             resp["out"] = out
             self._renders += 1
