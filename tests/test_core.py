@@ -177,3 +177,17 @@ def test_hdr_rgbe_decodes_to_radiance(tmp_path):
     # mantissa step 2^(e-136) <= max/128 (small components share the max's
     # exponent, so only a max-relative bound - not per-component rtol - holds)
     assert np.all(np.abs(dec - img) <= (m[..., None] / 128.0) + 1e-12)
+
+
+def test_hdr_huge_finite_values_do_not_wrap(tmp_path):
+    """A finite radiance near f32 max must clamp, not wrap the RGBE
+    exponent byte to 0 (ADVICE r4: 3.4e38 gave exp 128 -> E 0 -> black)."""
+    img = np.full((1, 1, 3), 3.4e38, np.float32)
+    path = tmp_path / "big.hdr"
+    film.write_image(img, str(path))
+    raw = path.read_bytes()
+    rgbe = np.frombuffer(raw.split(b"\n-Y 1 +X 1\n", 1)[1], np.uint8)
+    e = float(rgbe[3])
+    assert e > 128  # a bright pixel, not a black one
+    dec = rgbe[0] * 2.0 ** (e - 136.0)
+    assert dec >= 1e29  # decodes to (at least) the clamp ceiling

@@ -121,3 +121,24 @@ def test_cli_progressive_stdout_byte_identical(tmp_path):
     assert plain.returncode == 0 and prog.returncode == 0, (
         plain.stderr[-500:], prog.stderr[-500:])
     assert prog.stdout == plain.stdout
+
+
+def test_progressive_file_float_formats_keep_linear(tmp_path):
+    """--progressive with a .pfm/.hdr destination must write the LINEAR
+    formats, not PNG bytes under a float extension (ADVICE r4)."""
+    img = np.array([[[0.0, 0.5, 2.25], [1.0, 0.125, 0.0]],
+                    [[3.5, 0.75, 0.25], [0.0, 0.0, 9.0]]], np.float32)
+    out = tmp_path / "p.pfm"
+    po = film.ProgressiveOutput(str(out), 2, 2)
+    po.update(img * 0.5, 0)   # partial estimate
+    po.finish(img)
+    raw = out.read_bytes()
+    assert raw.startswith(b"PF\n")
+    body = raw.split(b"\n", 3)[3]
+    a = np.frombuffer(body, "<f4").reshape(2, 2, 3)[::-1]
+    np.testing.assert_array_equal(a, img)  # linear, untonemapped
+
+    out_hdr = tmp_path / "p.hdr"
+    po2 = film.ProgressiveOutput(str(out_hdr), 2, 2)
+    po2.finish(img)
+    assert out_hdr.read_bytes().startswith(b"#?RADIANCE")

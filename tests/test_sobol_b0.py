@@ -97,3 +97,17 @@ def test_sobol_b0_composes_with_adaptive():
                 max_depth=8, seed=3, mode="queue", engine="xla",
                 adaptive=0.05)
     np.testing.assert_allclose(ib.mean(), iu.mean(), rtol=0.15)
+
+
+def test_sobol_b0_never_degrades_below_sobol(capsys):
+    """Off the XLA queue path, sobol-b0 must keep the SOBOL camera dims
+    (bit-identical to plain sobol there, since scatter draws are hashed
+    in both) and announce the demotion (ADVICE r4 medium: the Pallas
+    regens used to drop the camera dims to uniform jitter)."""
+    sc = SCENES["cornell"].build()
+    cm = SCENES["cornell"].camera(10, 10)
+    kw = dict(spp=8, max_depth=6, seed=5, mode="pool", engine="xla")
+    isb = render(sc, cm.replace(sampler="sobol"), 10, 10, **kw)
+    ib0 = render(sc, cm.replace(sampler="sobol-b0"), 10, 10, **kw)
+    np.testing.assert_array_equal(np.asarray(isb), np.asarray(ib0))
+    assert "bounce-dim override" in capsys.readouterr().err

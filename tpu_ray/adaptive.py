@@ -382,6 +382,15 @@ def _render_adaptive_pool(
 
         shade = ("fused" if _use_fused_shading(scene, None, engine)
                  else "xla")
+        if shade == "fused" and camera.sampler == "sobol-b0":
+            # same demotion notice as renderer.render (ADVICE r4 medium):
+            # the fused kernel keeps sobol camera dims, hashed scatter
+            import sys
+
+            print("tpu_ray: sampler=sobol-b0's bounce-dim override only "
+                  "runs on the XLA work-queue path; the fused adaptive "
+                  "kernel keeps the sobol camera dims with hashed scatter "
+                  "draws", file=sys.stderr)
 
     key = jax.random.PRNGKey(seed)
     n = np.zeros(P, np.int64)

@@ -104,15 +104,21 @@ class ProgressiveOutput:
         if self.path is None:
             self._stream_rows(img, rows_final)
             return
-        rgb8 = to_rgb8(img)
         tmp = self.path + ".tmp"
-        if self.path.endswith(".ppm"):
+        # dispatch on the DESTINATION's extension (the tmp name ends in
+        # .tmp): .pfm/.hdr keep the linear radiance like write_image -
+        # ADVICE r4: these used to get PNG bytes under a float extension
+        if self.path.endswith(".pfm"):
+            write_pfm(img, tmp)
+        elif self.path.endswith(".hdr"):
+            write_hdr(img, tmp)
+        elif self.path.endswith(".ppm"):
             with open(tmp, "w") as f:
-                write_ppm(rgb8, f)
+                write_ppm(to_rgb8(img), f)
         else:
             from PIL import Image
 
-            Image.fromarray(rgb8, "RGB").save(tmp, format="PNG")
+            Image.fromarray(to_rgb8(img), "RGB").save(tmp, format="PNG")
         import os
 
         os.replace(tmp, self.path)  # readers never see a torn image
@@ -155,7 +161,10 @@ def write_hdr(img, path: str) -> None:
     """
     a = np.asarray(img, np.float64)
     a = np.nan_to_num(a, nan=0.0, posinf=1e30, neginf=0.0)
-    a = np.maximum(a, 0.0)
+    # ceiling keeps frexp's exponent <= 100, so E = exp+128 can never
+    # wrap the uint8 (ADVICE r4: a finite ~3.4e38 gave exp 128 -> E 0,
+    # decoding the brightest pixel to black)
+    a = np.clip(a, 0.0, 1e30)
     h, w, _ = a.shape
     m = a.max(axis=-1)
     mant, exp = np.frexp(m)  # m = mant * 2^exp, mant in [0.5, 1)

@@ -211,11 +211,14 @@ def bounce0_uniforms(slot: jnp.ndarray, sidx: jnp.ndarray, salt) -> tuple:
     """Owen-scrambled Sobol' dims 6-10 for (slot, sample index): the
     first-bounce scatter draws of the ``sobol-b0`` probe sampler.
 
-    Returns five f32 arrays in [0, 1) destined for ops/scatter columns
-    (0, 2, 3, 6, 7): mixture coin, quad-light uv, cosine-hemisphere uv.
-    Same contract as :func:`pixel_uniforms`; the scramble-seed chain
-    continues from :func:`lens_time_uniforms`' so all ten dims carry
-    independent scrambles of one Sobol' point.
+    Returns five f32 arrays in [0, 1).  The consumer (integrator.
+    _queue_body) keeps the mixture COIN hashed (a QMC coin measurably
+    hurts - PERFLOG "Bounce-dim QMC"), so element 0 (dim 6) goes unused
+    there and the quad-light uv pair takes elements 1-2 (dims 7-8), the
+    cosine-hemisphere pair elements 3-4 (dims 9-10) - ops/scatter.py
+    columns (2, 3, 6, 7).  Same contract as :func:`pixel_uniforms`; the
+    scramble-seed chain continues from :func:`lens_time_uniforms`' so
+    all ten dims carry independent scrambles of one Sobol' point.
     """
     slot = slot.astype(jnp.uint32)
     sidx = sidx.astype(jnp.uint32)

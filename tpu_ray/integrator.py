@@ -728,8 +728,11 @@ def _queue_body(st: _QueueState, scene, camera, k_isect, k_scat, cam_salt,
             # breaking their net property (measured: cornell 64spp MSE
             # 1.7x WORSE with a Sobol coin; PERFLOG "Bounce-dim QMC").
             # Both uv pairs are computed unconditionally per lane, so their
-            # full per-pixel prefixes stay stratified.
-            for col, qv in zip((2, 3, 6, 7), q5):
+            # full per-pixel prefixes stay stratified.  q5[0] is the coin
+            # dim (6), skipped; the light-uv pair takes dims 7-8 and the
+            # cosine-uv pair dims 9-10 (ADVICE r4: zipping all of q5
+            # silently dropped dim 10 and shifted the pairs).
+            for col, qv in zip((2, 3, 6, 7), q5[1:]):
                 u_sc = u_sc.at[:, col].set(jnp.where(b0, qv, u_sc[:, col]))
         sc = scatter(scene, k_scat, st.direction, rec, sid, u=u_sc)
         miss = st.active & ~rec.hit

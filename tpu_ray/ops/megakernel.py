@@ -343,9 +343,10 @@ def _kernel(xs_ref, ys_ref, slot_ref, keys_ref, geo_ref, salt_ref, light_ref,
         u2 = _hash_col(base, 2)
         u3 = _hash_col(base, 3)
         u4 = _hash_col(base, 4)
-        if sampler == "sobol":
+        if sampler in ("sobol", "sobol-b0"):
             # scrambled Sobol' camera sample (core/qmc.py): dims 1-2 on
-            # the pixel, 3-5 on lens disk + shutter time
+            # the pixel, 3-5 on lens disk + shutter time; sobol-b0 keeps
+            # the sobol camera dims here (bounce override is queue-only)
             from ..core import qmc
 
             gs = sample0 + sample.astype(jnp.uint32)

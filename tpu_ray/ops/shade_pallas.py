@@ -493,10 +493,13 @@ def _step_kernel(xs_ref, ys_ref, slot_ref,
     u2 = _hash_col(base, 2)
     u3 = _hash_col(base, 3)
     u4 = _hash_col(base, 4)
-    if sampler == "sobol":
+    if sampler in ("sobol", "sobol-b0"):
         # scrambled Sobol' camera sample (core/qmc.py): dims 1-2 on the
         # pixel, 3-5 on lens disk + shutter time, on the PLAIN global
-        # sample index; pure tile bit math, Pallas-safe
+        # sample index; pure tile bit math, Pallas-safe.  sobol-b0's
+        # bounce-dim override is XLA-queue-only; here it keeps the sobol
+        # camera dims (hash scatter draws) rather than degrading the
+        # camera sample to uniform jitter (ADVICE r4 medium)
         from ..core import qmc
 
         gs = sample0 + sample.astype(jnp.uint32)

@@ -556,6 +556,22 @@ def render(
     mode = resolve_mode(scene, mode, mesh=mesh, bvh=bvh, engine=engine,
                         _rows=_rows, spp=spp)
 
+    if camera.sampler == "sobol-b0":
+        # the bounce-dim override only exists on the XLA work-queue path;
+        # everywhere else sobol-b0 must still run the SOBOL camera dims
+        # (never degrade below plain sobol) and say so (ADVICE r4 medium:
+        # the demotion used to be silent, violating the announce-every-
+        # demotion norm of resolve_mode)
+        from .integrator import _use_fused_shading
+
+        if mode != "queue" or _use_fused_shading(scene, None, engine):
+            where = (f"mode={mode}" if mode != "queue"
+                     else "the fused queue kernel")
+            print("tpu_ray: sampler=sobol-b0's bounce-dim override only "
+                  f"runs on the XLA work-queue path; {where} keeps the "
+                  "sobol camera dims with hashed scatter draws",
+                  file=sys.stderr)
+
     if mode == "queue":
         return _render_queue(
             scene, camera, width, height, spp, max_depth, seed,
