@@ -1,0 +1,69 @@
+"""Ray census (tools/count_rays.py): the Mrays/s receipts behind
+BENCH's declared metric (BASELINE.json "Mrays/sec/chip"; VERDICT r4
+weak #4).  The counter is Sum over loop iterations of the active-lane
+count; these tests pin the invariants that make that a ray count.
+"""
+import json
+import subprocess
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "tools"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from tpu_ray.models.scenes import SCENES
+
+
+def _cfg(w=16, h=12, spp=4):
+    spec = SCENES["two-spheres"]
+    return spec.build(seed=1024), spec.camera(w, h)
+
+
+def test_pool_census_depth1_equals_samples():
+    """At max_depth=1 every path is exactly one camera ray, so the count
+    must equal width*height*spp exactly - the strongest direct check
+    that the counter counts each traced ray once."""
+    from count_rays import count_pool
+
+    scene, cam = _cfg()
+    rays, plan = count_pool(scene, cam, 16, 12, 4, 1, 1024, "xla")
+    assert rays == 16 * 12 * 4
+
+
+def test_queue_census_depth1_equals_samples():
+    from count_rays import count_queue
+
+    scene, cam = _cfg()
+    rays, plan = count_queue(scene, cam, 16, 12, 4, 1, 1024, "xla",
+                             rays_per_wave=64)
+    assert rays == 16 * 12 * 4
+
+
+def test_pool_census_bounded_and_monotone():
+    """Counts grow with depth and stay within [samples, samples*depth]."""
+    from count_rays import count_pool
+
+    scene, cam = _cfg()
+    n = 16 * 12 * 4
+    r1, _ = count_pool(scene, cam, 16, 12, 4, 1, 1024, "xla")
+    r4, _ = count_pool(scene, cam, 16, 12, 4, 4, 1024, "xla")
+    r8, _ = count_pool(scene, cam, 16, 12, 4, 8, 1024, "xla")
+    assert n == r1 <= r4 <= r8 <= 8 * n
+    assert r4 > n  # some paths really bounce in this scene
+
+
+def test_queue_census_invariant_to_lane_count():
+    """Queue draws are keyed by global work item, so the census count
+    must be identical for ANY lane count (trace_queue module note)."""
+    from count_rays import count_queue
+
+    scene, cam = _cfg(w=32, h=24)  # P*spp=3072 so the lane cap binds
+    a, plan_a = count_queue(scene, cam, 32, 24, 4, 8, 1024, "xla",
+                            rays_per_wave=1200)
+    b, plan_b = count_queue(scene, cam, 32, 24, 4, 8, 1024, "xla",
+                            rays_per_wave=2048)
+    assert plan_a != plan_b  # genuinely different lane counts
+    assert a == b

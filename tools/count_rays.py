@@ -1,0 +1,231 @@
+"""Ray census: count the rays ACTUALLY traced by each bench config.
+
+BASELINE.json names "Mrays/sec/chip" as the headline metric, but through
+round 4 the bench JSON only reported wall-clock (VERDICT r4 weak #4).
+The number of rays a render traces (camera rays + bounce rays = path
+vertices) is a DETERMINISTIC function of (scene, camera, seed, size,
+spp, depth, mode, wave plan): every draw is keyed by global ids
+(integrator module notes), so the count is invariant to compaction,
+banding, epoch length and lane count.  This tool measures it once per
+config with counting twins of the production loops (shared
+_make_pool_loop / _queue_body bodies - same draws by construction) and
+writes RAYSTATS.json at the repo root, keyed by a config fingerprint.
+bench.py reads that file at report time: mrays_per_s costs the timed
+run nothing (no new executables in its working set, no ttfp impact).
+
+The counter is Sum over iterations of the active-lane count: each loop
+iteration traces exactly one ray on every active lane (the wavefront
+contract), so the sum counts each path vertex once.  Counts transfer
+across shading engines up to fp-fusion compare flips (the same 1-ulp
+class as the staged/unstaged split, tests/test_pool.py) - i.e. exactly;
+a flip would need a draw within 1 ulp of a branch threshold.
+
+Usage: python tools/count_rays.py [--configs book1,two-spheres,...]
+       [--platform cpu]  (CPU gives the same counts up to the fp class
+       above; the shipped RAYSTATS.json is measured on the real TPU)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import CONFIGS  # noqa: E402
+
+
+def census_tag(scene, camera, cfg, mode, plan) -> str:
+    """Fingerprint everything the ray count depends on."""
+    from tpu_ray.renderer import SEMANTICS_VERSION, _scene_fingerprint
+
+    return (f"v{SEMANTICS_VERSION}|{_scene_fingerprint(scene, camera)}"
+            f"|{cfg['width']}x{cfg['height']}|{cfg['spp']}|d50|s1024"
+            f"|{mode}|{plan}")
+
+
+def count_pool(scene, camera, width, height, spp, max_depth, seed, engine):
+    """Ray count of the production pool render: same wave plan, same
+    per-wave keys and sample bases as renderer.render (mode='pool')."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ray.integrator import (_init_pool_state, _make_pool_loop,
+                                    _use_fused_shading)
+    from tpu_ray.renderer import _pixel_grid, _slot_ids, plan_pool
+
+    k_pool, s_wave, n_waves = plan_pool(scene, width, height, spp,
+                                        1 << 20, 64, engine)
+    fused = _use_fused_shading(scene, None, engine)
+    xs, ys = _pixel_grid(width, height, k_pool)
+    sids = _slot_ids(width, height, k_pool)
+    base_key = jax.random.PRNGKey(seed)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5, 6, 7, 8))
+    def wave_rays(key, s, t, sids, sample0, n_samples, max_depth, engine,
+                  fused, cam_salt):
+        regen, body = _make_pool_loop(
+            scene, camera, key, jnp.int32(n_samples), sample0, cam_salt,
+            1.0 / width, 1.0 / height, max_depth, engine, fused, 0, None,
+            s, t, sids)
+        st = regen(_init_pool_state(s.shape[0]), jnp.ones(s.shape, bool))
+        iter_cap = n_samples * max_depth + max_depth
+
+        def cond(c):
+            return jnp.any(c[0].active) & (c[0].iteration < iter_cap)
+
+        def cb(c):
+            st, rays = c
+            return body(st), rays + jnp.sum(st.active, dtype=jnp.int32)
+
+        _, rays = jax.lax.while_loop(cond, cb, (st, jnp.int32(0)))
+        return rays
+
+    total = 0
+    for w in range(n_waves):
+        key = jax.random.fold_in(base_key, w)
+        total += int(wave_rays(key, xs, ys, sids,
+                               jnp.uint32(w * s_wave), int(s_wave),
+                               max_depth, engine, fused, jnp.uint32(seed)))
+        print(f"  wave {w + 1}/{n_waves}: cumulative {total:,} rays",
+              file=sys.stderr)
+    return total, f"pool:k{k_pool}s{s_wave}"
+
+
+def count_queue(scene, camera, width, height, spp, max_depth, seed, engine,
+                rays_per_wave=1 << 20):
+    """Ray count of the production queue render.  Queue draws are keyed
+    by (render key, purpose, GLOBAL work item, bounce) - invariant to R,
+    epoch length and sample chunking (trace_queue module note) - so the
+    census runs one chunk at the production lane count with its own
+    epoch cap and a tiny log (log contents never affect state
+    transitions; radiance is discarded)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_ray.integrator import (_queue_body, _queue_init,
+                                    _use_fused_shading)
+    from tpu_ray.renderer import plan_queue
+
+    R, chunk_spp, epoch_iters, _ = plan_queue(
+        scene, width, height, spp, rays_per_wave, engine)
+    fused = _use_fused_shading(scene, None, engine)
+    P = width * height
+    total_i = P * spp
+    base_key = jax.random.PRNGKey(seed)
+    k_queue = jax.random.fold_in(base_key, 0x5EED)
+    k_isect = jax.random.fold_in(k_queue, 0)
+    k_scat = jax.random.fold_in(k_queue, 1)
+    total = jnp.int32(total_i)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7), donate_argnums=0)
+    def epoch(carry, total, m, iters, width, height, engine, fused):
+        def cond(c):
+            st = c[0]
+            return ((st.iteration < iters)
+                    & ((st.frontier < total) | jnp.any(st.active)))
+
+        def body(c):
+            st, rays = c
+            rays = rays + jnp.sum(st.active, dtype=jnp.int32)
+            st = _queue_body(st, scene, camera, k_isect, k_scat,
+                             jnp.uint32(seed), jnp.uint32(0), total, m=m,
+                             width=width, height=height, engine=engine,
+                             fused=fused, max_depth=max_depth)
+            return st, rays
+
+        st, rays = carry
+        return jax.lax.while_loop(cond, body,
+                                  (st._replace(iteration=jnp.int32(0)), rays))
+
+    @jax.jit
+    def counters(carry):
+        st, rays = carry
+        return jnp.stack([st.frontier, jnp.sum(st.active, dtype=jnp.int32),
+                          rays])
+
+    carry = (_queue_init(R, total_i, R), jnp.int32(0))
+    max_epochs = 21 + (total_i // max(R, 1)
+                       + spp * max_depth) // max(epoch_iters, 1) * 4
+    for e in range(max_epochs):
+        carry = epoch(carry, total, R, epoch_iters, width, height, engine,
+                      fused)
+        frontier, n_active, rays = (int(v) for v in np.asarray(
+            counters(carry)))
+        if e % 16 == 0:
+            print(f"  epoch {e}: frontier {frontier:,}/{total_i:,}, "
+                  f"{n_active:,} active, {rays:,} rays", file=sys.stderr)
+        if frontier >= total_i and n_active == 0:
+            return rays, f"queue:R{R}"
+    raise RuntimeError("census epoch cap exceeded")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default=",".join(sorted(CONFIGS)))
+    p.add_argument("--platform", default=None,
+                   help="e.g. cpu for a local check; default = real device")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RAYSTATS.json"))
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from tpu_ray.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import resolve_engine, resolve_mode
+
+    stats = {}
+    if os.path.exists(args.out):
+        stats = json.load(open(args.out))
+    for config in args.configs.split(","):
+        cfg = CONFIGS[config]
+        spec = SCENES[cfg["scene"]]
+        scene = spec.build(seed=1024)
+        camera = spec.camera(cfg["width"], cfg["height"])
+        engine = resolve_engine(scene, "auto")
+        mode = resolve_mode(scene, "auto", spp=cfg["spp"])
+        print(f"[census] {config}: mode={mode} engine={engine} "
+              f"{scene.n_prims} prims", file=sys.stderr)
+        t0 = time.time()
+        if mode == "queue":
+            rays, plan = count_queue(scene, camera, cfg["width"],
+                                     cfg["height"], cfg["spp"], 50, 1024,
+                                     engine)
+        else:
+            rays, plan = count_pool(scene, camera, cfg["width"],
+                                    cfg["height"], cfg["spp"], 50, 1024,
+                                    engine)
+        samples = cfg["width"] * cfg["height"] * cfg["spp"]
+        stats[config] = {
+            "rays": rays,
+            "mean_path_len": round(rays / samples, 4),
+            "tag": census_tag(scene, camera, cfg, mode, plan),
+            "n_prims": scene.n_prims,
+            "measured_on": str(jax.devices()[0]),
+            "census_wall_s": round(time.time() - t0, 1),
+        }
+        print(f"[census] {config}: {rays:,} rays "
+              f"(mean path {rays / samples:.3f}) in "
+              f"{stats[config]['census_wall_s']}s", file=sys.stderr)
+        with open(args.out, "w") as f:
+            json.dump(stats, f, indent=1)
+    print(json.dumps(stats, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
