@@ -217,20 +217,31 @@ print(json.dumps(sorted(os.listdir(d))))
     assert keys[0]  # non-empty: entries were actually written
 
 
-def test_cache_normalizes_mosaic_kernel_locations():
+def test_cache_normalizes_mosaic_kernel_locations(tmp_path, monkeypatch):
     """Pallas kernels serialize Python traceback LOCATIONS (including the
     entry script's frames) into their tpu_custom_call payload, which the
     key's strip-debuginfo pass cannot reach - five different entry
     scripts produced five different keys for one ladder executable.
     enable_compilation_cache must pin locations to the nearest user
-    frame (the stable in-package call site)."""
+    frame (the stable in-package call site).
+
+    Scoped to a tmp cache dir and restored after: pointing the TEST
+    process at the live ~/.cache dir made every later test load any
+    matching entries - including foreign-machine XLA:CPU AOT results
+    from prebuilt sync, whose numerics differ by 1-2 ulp from locally
+    compiled code (r5: two goldens failed order-dependently)."""
     import jax
 
     from tpu_ray.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
-    assert jax.config.jax_include_full_tracebacks_in_locations is False
-    assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
+    old_dir = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("TPU_RAY_PREBUILT", "0")
+    try:
+        enable_compilation_cache(str(tmp_path))
+        assert jax.config.jax_include_full_tracebacks_in_locations is False
+        assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
 
 
 def test_platform_mismatch_ignores_code_provenance(tmp_path, monkeypatch):
@@ -257,3 +268,26 @@ def test_platform_mismatch_ignores_code_provenance(tmp_path, monkeypatch):
         "jax 0.0.1\nother backend\ncode 0123abc\n")
     msg = c.prebuilt_platform_mismatch()
     assert msg is not None and "regenerate" in msg
+
+
+def test_cpu_platform_skips_persistent_cache(monkeypatch):
+    """On the CPU platform the persistent cache must stay OFF unless a
+    dir is pinned: XLA:CPU entries embed the compile host's features and
+    $HOME persists across machines here (r5: foreign AOT entries flipped
+    golden bits and SIGILLed a CLI subprocess)."""
+    import jax
+
+    from tpu_ray.utils.cache import enable_compilation_cache
+
+    monkeypatch.delenv("TPU_RAY_CACHE_DIR", raising=False)
+    assert str(jax.config.jax_platforms).startswith("cpu")  # conftest
+    assert enable_compilation_cache() == ""
+    # an explicit dir still wins (tests that NEED a scoped cache)
+    import tempfile
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            assert enable_compilation_cache(td) == td
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

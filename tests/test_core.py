@@ -191,3 +191,34 @@ def test_hdr_huge_finite_values_do_not_wrap(tmp_path):
     assert e > 128  # a bright pixel, not a black one
     dec = rgbe[0] * 2.0 ** (e - 136.0)
     assert dec >= 1e29  # decodes to (at least) the clamp ceiling
+
+
+def test_camera_create_compiles_nothing():
+    """Camera.create runs entirely in host numpy (r5): through round 4
+    its eager jnp math compiled ~10 mini-op executables per cold process
+    - each a persistent-cache load through the remote-worker tunnel
+    (VERDICT r4 next-round #1b).  Pin the zero-compile property."""
+    from jax._src import monitoring
+
+    from tpu_ray.core.camera import Camera
+
+    compiles = []
+
+    def listener(event, duration, **kw):
+        if event == "/jax/core/compile/backend_compile_duration":
+            compiles.append(event)
+
+    monitoring.register_event_duration_secs_listener(listener)
+    try:
+        cam = Camera.create((478, 278, -600), (278, 278, 0), (0, 1, 0),
+                            40.0, 1.0, 0.1, 580.0)
+    finally:
+        monitoring.unregister_event_duration_listener(listener)
+    assert compiles == []
+    # and the math is the documented host-f32 chain
+    lf = np.asarray((478, 278, -600), np.float32)
+    la = np.asarray((278, 278, 0), np.float32)
+    w = lf - la
+    w = w / np.float32(np.sqrt(np.float32(w @ w)))
+    np.testing.assert_array_equal(np.asarray(cam.w), w)
+    assert np.asarray(cam.lower_left).dtype == np.float32

@@ -48,33 +48,47 @@ class Camera:
         time0: float = 0.0,
         time1: float = 1.0,
     ) -> "Camera":
-        """Precompute the camera frame (reference ``newCamera``, src/Lib.hs:1269-1295)."""
-        lookfrom = jnp.asarray(lookfrom, jnp.float32)
-        lookat = jnp.asarray(lookat, jnp.float32)
-        vup = jnp.asarray(vup, jnp.float32)
-        theta = vfov_deg * jnp.pi / 180.0
-        half_height = jnp.tan(theta / 2.0)
-        half_width = aspect * half_height
-        w = vec.normalize(lookfrom - lookat)
-        u = vec.normalize(vec.cross(vup, w))
-        v = vec.cross(w, u)
-        lower_left = (
-            lookfrom
-            - (half_width * focus_dist) * u
-            - (half_height * focus_dist) * v
-            - focus_dist * w
-        )
+        """Precompute the camera frame (reference ``newCamera``, src/Lib.hs:1269-1295).
+
+        ENTIRELY in host numpy f32: through round 4 this eager jnp math
+        ran ~10 mini-op executables (tan, normalize's multiply / reduce /
+        sqrt / divide, cross, ...) - each a persistent-cache entry to
+        load and a tunnel dispatch on every cold start (r5 working-set
+        audit, VERDICT r4 next-round #1b).  Host math also makes the
+        camera bits platform-INDEPENDENT (the eager device chain rounded
+        per backend).  tan runs in f64 and rounds once to f32; everything
+        else is IEEE f32 single ops.  Zero compiles pinned by
+        tests/test_core.py::test_camera_create_compiles_nothing.
+        """
+        import numpy as np
+
+        f32 = np.float32
+        lf = np.asarray(lookfrom, f32)
+        la = np.asarray(lookat, f32)
+        vu = np.asarray(vup, f32)
+        theta = float(vfov_deg) * float(np.pi) / 180.0
+        hh = f32(np.tan(theta / 2.0))
+        hw = f32(aspect) * hh
+
+        def norm(x):
+            return x / f32(np.sqrt(f32(x @ x)))
+
+        w = norm(lf - la)
+        u = norm(np.cross(vu, w).astype(f32))
+        v = np.cross(w, u).astype(f32)
+        fd = f32(focus_dist)
+        lower_left = lf - (hw * fd) * u - (hh * fd) * v - fd * w
         return cls(
-            origin=lookfrom,
-            lower_left=lower_left,
-            horizontal=(2.0 * half_width * focus_dist) * u,
-            vertical=(2.0 * half_height * focus_dist) * v,
-            u=u,
-            v=v,
-            w=w,
-            lens_radius=jnp.float32(aperture / 2.0),
-            time0=jnp.float32(time0),
-            time1=jnp.float32(time1),
+            origin=jnp.asarray(lf),
+            lower_left=jnp.asarray(lower_left),
+            horizontal=jnp.asarray((f32(2.0) * hw * fd) * u),
+            vertical=jnp.asarray((f32(2.0) * hh * fd) * v),
+            u=jnp.asarray(u),
+            v=jnp.asarray(v),
+            w=jnp.asarray(w),
+            lens_radius=jnp.asarray(f32(aperture / 2.0)),
+            time0=jnp.asarray(f32(time0)),
+            time1=jnp.asarray(f32(time1)),
         )
 
     def get_rays(self, key, s: jnp.ndarray, t: jnp.ndarray):

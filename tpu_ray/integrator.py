@@ -1063,17 +1063,13 @@ def trace_queue(
 
     # final drain: ONE survival tail for the whole chunk, compacted down
     # the ladder (randomness travels with work/bounce, so compaction stays
-    # invisible; plane writes are absolute)
+    # invisible; plane writes are absolute).  _queue_compact is ONE jitted
+    # executable per level: the eager argsort-take here used to run ~12
+    # mini-op executables per level, i.e. ~36 of next-week's 88 cold-start
+    # cache loads and ~12 tunnel dispatch RTTs per level of render wall
+    # (r5 working-set audit; VERDICT r4 next-round #1b)
     for li, m in enumerate(drain_levels):
-        order = jnp.argsort(~st.active, stable=True)[:m]
-        take = lambda a: a[order]
-        st = _QueueState(
-            iteration=jnp.int32(0), frontier=st.frontier,
-            origin=take(st.origin), direction=take(st.direction),
-            time=take(st.time), throughput=take(st.throughput),
-            accum=take(st.accum), bounce=take(st.bounce),
-            work=take(st.work), active=take(st.active), plane=st.plane,
-            log=st.log, posmap=st.posmap, cursor=st.cursor)
+        st = _queue_compact(st, m)
         nxt = drain_levels[li + 1] if li + 1 < len(drain_levels) else 0
         st = run(st, m, nxt)
 
@@ -1192,6 +1188,23 @@ def _queue_counters_mesh(st, mesh):
 
     return jax.shard_map(dev, mesh=mesh, in_specs=(_PSpec(axis),),
                          out_specs=_PSpec(axis), check_vma=False)(st)
+
+
+@_partial(jax.jit, static_argnums=(1,), donate_argnums=0)
+def _queue_compact(st: _QueueState, m: int) -> _QueueState:
+    """Drain-ladder compaction as ONE executable: gather the ``m`` most-
+    active lanes (stable argsort keeps work order), reset the epoch
+    counter, pass the plane/log/posmap through.  Pure permutation + copies
+    - bit-identical to the eager argsort-take it replaced."""
+    order = jnp.argsort(~st.active, stable=True)[:m]
+    take = lambda a: a[order]
+    return _QueueState(
+        iteration=jnp.int32(0), frontier=st.frontier,
+        origin=take(st.origin), direction=take(st.direction),
+        time=take(st.time), throughput=take(st.throughput),
+        accum=take(st.accum), bounce=take(st.bounce),
+        work=take(st.work), active=take(st.active), plane=st.plane,
+        log=st.log, posmap=st.posmap, cursor=st.cursor)
 
 
 @_partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)

@@ -306,6 +306,38 @@ def _reduce_boundary(obj: ob.Object, rot, off):
             )
 
 
+def _perlin_tables(salts):
+    """Reference-construction Perlin tables, one set per Noise instance.
+
+    ``makePerlin`` (reference src/Lib.hs:421-439): 256 gradient vectors
+    with components uniform in [-1, 1] (raw, not normalized), and three
+    independent permutations of 0..255 built by the classic downward
+    Fisher-Yates (``perlinGeneratePerm``: for i = 255..1 swap p[i] with
+    p[randomIntRM 0 i], both ends inclusive).  The reference draws from
+    its seeded splitmix stream mid-scene-build; replicating Haskell's
+    generator is out of scope, so each instance's stream here is PCG64
+    seeded by its perlin_salt - same construction, reproducible tables,
+    different (but statistically identical) field.  Used by the
+    strict-mode marble only (ops/textures.py::_perlin_noise_table)."""
+    if not salts:
+        return (np.zeros((1, 1, 3), np.float32),
+                np.zeros((1, 3, 1), np.int32))
+    ranvecs, perms = [], []
+    for salt in salts:
+        rng = np.random.Generator(np.random.PCG64(int(salt)))
+        ranvecs.append(rng.uniform(-1.0, 1.0, (256, 3)).astype(np.float32))
+        ps = []
+        for _ in range(3):
+            p = np.arange(256)
+            for i in range(255, 0, -1):
+                t = int(rng.integers(0, i + 1))
+                p[i], p[t] = p[t], p[i]
+            ps.append(p)
+        perms.append(np.stack(ps))
+    return (np.stack(ranvecs),
+            np.stack(perms).astype(np.int32))
+
+
 def _one_hot(axis: int) -> np.ndarray:
     v = np.zeros(3, np.float32)
     v[axis] = 1.0
@@ -476,6 +508,8 @@ def build_scene(
     tk, tc, to, te, ts, tp, ti = zip(*tables.tex_rows)
     perlin_salt = (np.array(tables.perlins, np.uint32)
                    if tables.perlins else np.zeros(1, np.uint32))
+    perlin_ranvec, perlin_perm = _perlin_tables(
+        tables.perlins if tables.perlins else None)
     if tables.images:
         hmax = max(im.shape[0] for im in tables.images)
         wmax = max(im.shape[1] for im in tables.images)
@@ -504,6 +538,8 @@ def build_scene(
         perlin_id=np.asarray(np.array(tp, np.int32)),
         image_id=np.asarray(np.array(ti, np.int32)),
         perlin_salt=np.asarray(perlin_salt),
+        perlin_ranvec=np.asarray(perlin_ranvec),
+        perlin_perm=np.asarray(perlin_perm),
         img_atlas=np.asarray(atlas),
         img_size=np.asarray(sizes),
     )

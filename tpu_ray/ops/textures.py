@@ -80,6 +80,52 @@ def _perlin_noise(salt, q):
     return acc
 
 
+def _perlin_noise_table(scene: SceneData, pid, q):
+    """One octave of the reference's TABLE noise (src/Lib.hs:441-476):
+    gradient = ranvec[permX[(i+di) mod 256] ^ permY[..] ^ permZ[..]],
+    hermite-smoothed trilinear interpolation of corner dots.
+
+    The strict-mode (--estimator reference) octave: unlike the default
+    hash-gradient redesign above, the noise FIELD here has the
+    reference's exact construction - 256-entry shuffled tables, xor
+    indexing, mod-256 lattice tiling (VERDICT r4 missing #1).  Cost: 6
+    hoisted permutation gathers + 8 gradient-row gathers per lane per
+    octave - the measured ~85%-of-wave gather bill that motivated the
+    default redesign (PERFLOG round 2), acceptable off the default path.
+
+    ``pid``: (R,) int32 Perlin instance; ``q``: (R, 3) pre-scaled point.
+    """
+    texs = scene.texs
+    P = texs.perlin_perm.shape[0]
+    permf = texs.perlin_perm.reshape(-1)      # (P*3*256,)
+    ranf = texs.perlin_ranvec.reshape(-1, 3)  # (P*256, 3)
+    ijk = jnp.floor(q)
+    uvw = q - ijk
+    h = uvw * uvw * (3.0 - 2.0 * uvw)
+    i0 = ijk.astype(jnp.int32)
+    base = pid * jnp.int32(3 * 256)
+    # (i + di) mod 256 for possibly-negative lattice coords: & 255 on the
+    # two's-complement int32 is the mathematical mod (Haskell `mod`)
+    px = [permf[base + ((i0[..., 0] + d) & 255)] for d in (0, 1)]
+    py = [permf[base + 256 + ((i0[..., 1] + d) & 255)] for d in (0, 1)]
+    pz = [permf[base + 512 + ((i0[..., 2] + d) & 255)] for d in (0, 1)]
+    vbase = pid * jnp.int32(256)
+    acc = jnp.zeros(q.shape[:-1], q.dtype)
+    for di in (0, 1):
+        w0 = h[..., 0] if di else 1.0 - h[..., 0]
+        ox = uvw[..., 0] - di
+        for dj in (0, 1):
+            w1 = h[..., 1] if dj else 1.0 - h[..., 1]
+            oy = uvw[..., 1] - dj
+            for dk in (0, 1):
+                w2 = h[..., 2] if dk else 1.0 - h[..., 2]
+                oz = uvw[..., 2] - dk
+                g = ranf[vbase + (px[di] ^ py[dj] ^ pz[dk])]
+                acc = acc + (w0 * w1 * w2) * (
+                    g[..., 0] * ox + g[..., 1] * oy + g[..., 2] * oz)
+    return acc
+
+
 def _marble(scene: SceneData, tex_id, p):
     texs = scene.texs
     return marble_from(scene, texs.perlin_id[tex_id], texs.scale[tex_id], p)
@@ -88,14 +134,20 @@ def _marble(scene: SceneData, tex_id, p):
 def marble_from(scene: SceneData, pid, sc, p):
     """Turbulence-phase marble (reference ``turb``/``marbleTexture``,
     src/Lib.hs:486-494, 512-513): 0.5 * (1 + sin(z + 10 * |sum w_n noise(2^n p)|)),
-    7 octaves, noise scaled per texture."""
-    salt = scene.texs.perlin_salt[pid]  # one tiny gather, then pure ALU
+    7 octaves, noise scaled per texture.  Strict scenes evaluate the
+    reference's table noise per octave (_perlin_noise_table); the
+    default keeps the hash-gradient field (_perlin_noise)."""
     sc = sc[..., None]
+    if scene.strict:
+        octave = lambda q: _perlin_noise_table(scene, pid, q)
+    else:
+        salt = scene.texs.perlin_salt[pid]  # one tiny gather, then pure ALU
+        octave = lambda q: _perlin_noise(salt, q)
     acc = jnp.zeros(p.shape[:-1], p.dtype)
     pp = p
     weight = 1.0
     for _ in range(7):
-        acc = acc + weight * _perlin_noise(salt, sc * pp)
+        acc = acc + weight * octave(sc * pp)
         pp = 2.0 * pp
         weight = weight * 0.5
     turb = jnp.abs(acc)

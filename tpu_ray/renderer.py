@@ -252,11 +252,19 @@ def _scene_fingerprint(scene: SceneData, camera: Camera) -> str:
     return h.hexdigest()[:12]
 
 
+from functools import partial as _rd_partial
+
+
+@_rd_partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _pixel_grid(width: int, height: int, k: int, row0: int = 0,
                 rows: int | None = None):
     """Flattened (k, rows, W) pixel coordinate fractions for image rows
     [row0, row0+rows): image row 0 is the top of the frame, i.e.
-    y = height-1 (pixelPositions, src/Lib.hs:1488-1489)."""
+    y = height-1 (pixelPositions, src/Lib.hs:1488-1489).
+
+    Jitted (one executable instead of ~6 eager mini-ops per cold start -
+    r5 working-set audit); bit-safe: integer chains + one final divide
+    per array, nothing XLA can FMA-contract."""
     rows = height if rows is None else rows
     ys = jnp.broadcast_to(
         jnp.arange(height - 1 - row0, height - 1 - row0 - rows, -1,
@@ -269,6 +277,7 @@ def _pixel_grid(width: int, height: int, k: int, row0: int = 0,
     return xs, ys
 
 
+@_rd_partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _slot_ids(width: int, height: int, k: int, row0: int = 0,
               rows: int | None = None):
     """GLOBAL slot ids k*(H*W) + image_row*W + col for the band's lanes.
@@ -276,7 +285,7 @@ def _slot_ids(width: int, height: int, k: int, row0: int = 0,
     All pool randomness is keyed on these (integrator.trace_pool), so a
     band renders exactly the rows it would produce inside a full-frame
     pool - band-tiled, meshed and compacted renders are bit-identical.
-    """
+    Jitted like _pixel_grid (exact uint32 arithmetic)."""
     rows = height if rows is None else rows
     return (
         jnp.arange(k, dtype=jnp.uint32)[:, None, None] * jnp.uint32(width * height)

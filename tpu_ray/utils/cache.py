@@ -170,6 +170,22 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     env = os.environ.get("TPU_RAY_CACHE_DIR")
     if env is not None and env.lower() in ("0", "off", "none", ""):
         return ""
+    # CPU platform: skip the persistent cache entirely unless the caller
+    # pinned a directory.  XLA:CPU executables embed the COMPILE host's
+    # CPU features ("+amx-tile,+prefer-no-scatter", ...); this
+    # deployment's $HOME persists across round machines with different
+    # hardware, and a foreign AOT entry loads with 1-2 ulp different
+    # numerics or SIGILLs outright (r5: 4210 cross-host CPU entries in
+    # the live cache broke two goldens and crashed a CLI subprocess).
+    # CPU compiles cost seconds; the cache only ever paid on TPU.
+    try:
+        import jax
+
+        plats = str(jax.config.jax_platforms or "")
+    except Exception:
+        plats = ""
+    if plats.startswith("cpu") and not env and cache_dir is None:
+        return ""
     cache_dir = cache_dir or env or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
 
