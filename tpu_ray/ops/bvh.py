@@ -14,10 +14,18 @@ TPU-native equivalent of the reference's ``makeBVH`` + recursive descent
   one node per ray (AABB slab test, leaf primitive tests, push/pop), with
   lanes that finished masked out.
 
-The brute-force intersector (ops/intersect.py) is the default for the
-reference's scene sizes (13-3400 primitives) where lockstep regularity
-beats divergent traversal on a vector machine; the BVH wins once scenes get
-large.  ``tpu_ray.renderer.render(bvh=True)`` switches it on.
+The brute-force intersector (ops/intersect.py) is the default at EVERY
+measured scene size.  Rounds 1-4 claimed "the BVH wins once scenes get
+large" without data; round 5 measured the crossover hunt on synthetic
+N-sphere scenes up to 100k prims on v5e (tools/bench_bvh_crossover.py,
+PERFLOG "BVH crossover") and found the opposite: the chunk-culled dense
+sweep beats this traversal 74-88x at 3.4k-50k prims and the gap WIDENS
+with N - Morton-ordered chunk-AABB culling already gives the sweep
+sublinear scaling, while lockstep traversal pays the ~10 ns/lane
+per-index gather floor at every node visit.  On this hardware the dense
+sweep IS the acceleration structure; the BVH stays as a validated
+correctness oracle (exact t/prim-id parity tests) and a CPU-backend
+alternative.  ``tpu_ray.renderer.render(bvh=True)`` switches it on.
 """
 from __future__ import annotations
 
