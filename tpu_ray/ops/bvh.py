@@ -19,8 +19,7 @@ measured scene size.  Rounds 1-4 claimed "the BVH wins once scenes get
 large" without data; round 5 measured the crossover hunt on synthetic
 N-sphere scenes up to 100k prims on v5e (tools/bench_bvh_crossover.py,
 PERFLOG "BVH crossover") and found the opposite: the chunk-culled dense
-sweep beats this traversal 74-88x at 3.4k-50k prims and the gap WIDENS
-with N - Morton-ordered chunk-AABB culling already gives the sweep
+sweep beats this traversal 71-88x at every size from 3.4k to 100k prims - Morton-ordered chunk-AABB culling already gives the sweep
 sublinear scaling, while lockstep traversal pays the ~10 ns/lane
 per-index gather floor at every node visit.  On this hardware the dense
 sweep IS the acceleration structure; the BVH stays as a validated
