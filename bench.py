@@ -94,9 +94,15 @@ SWEEP_SOL_S_PER_RAY_PRIM = 38.5e-9 / 1409
 CONFIGS = {
     "book1": dict(scene="book1-final", width=600, height=400, spp=100),
     "two-spheres": dict(scene="two-spheres", width=600, height=400, spp=100),
-    "cornell": dict(scene="cornell", width=500, height=500, spp=1000),
+    # samples_per_wave=250: ONE wave instead of five - measured 6.5/8.3%
+    # off the wall (cornell 3.805 -> 3.556 s, smoke 2.223 -> 2.039 s; the
+    # inter-wave straggler tails vanish).  Free: the pool's per-wave
+    # sample count is TRACED, so the executables (and the prebuilt cache)
+    # are identical - only the host loop count changes.
+    "cornell": dict(scene="cornell", width=500, height=500, spp=1000,
+                    samples_per_wave=250),
     "cornell-smoke": dict(scene="cornell-smoke", width=500, height=500,
-                          spp=1000),
+                          spp=1000, samples_per_wave=250),
     "next-week": dict(scene="next-week-final", width=400, height=400, spp=100),
 }
 
@@ -146,6 +152,7 @@ def run(config: str, rays_per_wave: int, out: str | None,
     kwargs = dict(
         max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
         engine=engine, bvh=bvh, rr_depth=rr_depth,
+        samples_per_wave=cfg.get("samples_per_wave", 64),
     )
     t0 = time.perf_counter()
     warmup(config, rays_per_wave, engine=engine, bvh=bvh, rr_depth=rr_depth,
@@ -244,7 +251,7 @@ def ray_stats(config: str, scene, camera, elapsed: float, *, bvh, engine,
     except (OSError, KeyError, ValueError):
         return {}
     from tpu_ray.renderer import (SEMANTICS_VERSION, _scene_fingerprint,
-                                  resolve_mode)
+                                  plan_pool, resolve_engine, resolve_mode)
 
     cfg = CONFIGS[config]
     mode = resolve_mode(scene, "auto", bvh=bvh, engine=engine,
@@ -252,6 +259,13 @@ def ray_stats(config: str, scene, camera, elapsed: float, *, bvh, engine,
     prefix = (f"v{SEMANTICS_VERSION}|{_scene_fingerprint(scene, camera)}"
               f"|{cfg['width']}x{cfg['height']}|{cfg['spp']}|d50|s1024"
               f"|{mode}|")
+    if mode == "pool":
+        # pool draws fold the wave key, so the wave PLAN is part of the
+        # count's identity (the queue's are globally keyed - plan-free)
+        k, s, _ = plan_pool(scene, cfg["width"], cfg["height"], cfg["spp"],
+                            1 << 20, cfg.get("samples_per_wave", 64),
+                            resolve_engine(scene, engine))
+        prefix += f"pool:k{k}s{s}"
     if not stats["tag"].startswith(prefix):
         print(f"[bench] RAYSTATS.json tag for {config} is stale "
               "(re-run tools/count_rays.py); omitting mrays_per_s",
@@ -281,7 +295,8 @@ def warmup(config: str, rays_per_wave: int, engine: str = "auto",
         scene = spec.build(seed=1024)
         camera = spec.camera(cfg["width"], cfg["height"])
     kwargs = dict(max_depth=50, seed=1024, rays_per_wave=rays_per_wave,
-                  engine=engine, bvh=bvh, rr_depth=rr_depth)
+                  engine=engine, bvh=bvh, rr_depth=rr_depth,
+                  samples_per_wave=cfg.get("samples_per_wave", 64))
     mode = resolve_mode(scene, "auto", bvh=bvh, engine=engine, spp=cfg["spp"])
     if mode == "queue":
         # queue executables are keyed by the film-plane shape (P*chunk_spp)
@@ -292,6 +307,7 @@ def warmup(config: str, rays_per_wave: int, engine: str = "auto",
     else:
         k_pool, _, _ = plan_pool(
             scene, cfg["width"], cfg["height"], cfg["spp"], rays_per_wave,
+            cfg.get("samples_per_wave", 64),
             engine=resolve_engine(scene, engine))
         # one sample per slot: the per-wave sample count is traced, so this
         # compiles the exact executable the timed run reuses

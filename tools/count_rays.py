@@ -46,9 +46,13 @@ def census_tag(scene, camera, cfg, mode, plan) -> str:
             f"|{mode}|{plan}")
 
 
-def count_pool(scene, camera, width, height, spp, max_depth, seed, engine):
+def count_pool(scene, camera, width, height, spp, max_depth, seed, engine,
+               samples_per_wave=64):
     """Ray count of the production pool render: same wave plan, same
-    per-wave keys and sample bases as renderer.render (mode='pool')."""
+    per-wave keys and sample bases as renderer.render (mode='pool').
+    ``samples_per_wave`` must match the bench config's (pool draws fold
+    the wave key, so the wave PLAN is part of the count's identity -
+    the tag records it and bench cross-checks)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +61,7 @@ def count_pool(scene, camera, width, height, spp, max_depth, seed, engine):
     from tpu_ray.renderer import _pixel_grid, _slot_ids, plan_pool
 
     k_pool, s_wave, n_waves = plan_pool(scene, width, height, spp,
-                                        1 << 20, 64, engine)
+                                        1 << 20, samples_per_wave, engine)
     fused = _use_fused_shading(scene, None, engine)
     xs, ys = _pixel_grid(width, height, k_pool)
     sids = _slot_ids(width, height, k_pool)
@@ -208,7 +212,8 @@ def main(argv=None) -> int:
         else:
             rays, plan = count_pool(scene, camera, cfg["width"],
                                     cfg["height"], cfg["spp"], 50, 1024,
-                                    engine)
+                                    engine,
+                                    cfg.get("samples_per_wave", 64))
         samples = cfg["width"] * cfg["height"] * cfg["spp"]
         stats[config] = {
             "rays": rays,
