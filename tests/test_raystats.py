@@ -67,3 +67,55 @@ def test_queue_census_invariant_to_lane_count():
                             rays_per_wave=2048)
     assert plan_a != plan_b  # genuinely different lane counts
     assert a == b
+
+
+def test_samples_per_wave_compiles_nothing_new():
+    """bench's per-config samples_per_wave tuning (r5: one 250-sample
+    wave instead of five 50s, -6.5/-8.3%) must stay free at the
+    executable level: the pool's per-wave sample count is TRACED, so a
+    second render with a different wave plan triggers ZERO new backend
+    compiles (the prebuilt cache serves any plan)."""
+    from jax._src import monitoring
+
+    from tpu_ray.renderer import render
+
+    scene, cam = _cfg()
+    kw = dict(max_depth=4, seed=7, mode="pool", rays_per_wave=16 * 12)
+    render(scene, cam, 16, 12, spp=8, samples_per_wave=2, **kw)
+
+    compiles = []
+
+    def listener(event, duration, **kws):
+        if event == "/jax/core/compile/backend_compile_duration":
+            compiles.append(event)
+
+    monitoring.register_event_duration_secs_listener(listener)
+    try:
+        img = render(scene, cam, 16, 12, spp=8, samples_per_wave=8, **kw)
+    finally:
+        monitoring.unregister_event_duration_listener(listener)
+    assert compiles == []
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_bench_ray_stats_rejects_stale_tag(tmp_path, monkeypatch):
+    """A RAYSTATS entry whose tag doesn't match the current scene/plan
+    must yield NO mrays fields (never a wrong number)."""
+    import json
+
+    import bench
+
+    scene, cam = _cfg(w=600, h=400, spp=100)
+    # point bench at a doctored stats file with a bogus tag
+    fake = {"two-spheres": {"rays": 123, "tag": "v0|deadbeef|600x400|100"
+                            "|d50|s1024|pool|pool:k4s25"}}
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path))
+    (tmp_path / "RAYSTATS.json").write_text(json.dumps(fake))
+    out = bench.ray_stats("two-spheres", scene, cam, 1.0, bvh=False,
+                          engine="auto", rr_depth=0)
+    assert out == {}
+    # non-default estimators never attach ray stats either
+    out = bench.ray_stats("two-spheres", scene, cam, 1.0, bvh=False,
+                          engine="auto", rr_depth=3)
+    assert out == {}
