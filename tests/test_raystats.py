@@ -119,3 +119,45 @@ def test_bench_ray_stats_rejects_stale_tag(tmp_path, monkeypatch):
     out = bench.ray_stats("two-spheres", scene, cam, 1.0, bvh=False,
                           engine="auto", rr_depth=3)
     assert out == {}
+
+
+def test_committed_raystats_match_current_code():
+    """The committed RAYSTATS.json tags must match what the CURRENT code
+    would produce for every bench config - otherwise the driver's bench
+    silently drops mrays_per_s (ray_stats rejects stale tags).  Scene
+    payloads and the camera are host-numpy, so the fingerprint is
+    platform-independent and this CPU test guards the TPU bench."""
+    import json
+
+    import bench
+    from tpu_ray.models.scenes import SCENES
+    from tpu_ray.renderer import (SEMANTICS_VERSION, _scene_fingerprint,
+                                  plan_pool, resolve_engine, resolve_mode)
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "RAYSTATS.json")
+    stats = json.load(open(path))
+    for config, cfg in bench.CONFIGS.items():
+        assert config in stats, f"no census for {config}"
+        spec = SCENES[cfg["scene"]]
+        scene = spec.build(seed=1024)
+        cam = spec.camera(cfg["width"], cfg["height"])
+        mode = resolve_mode(scene, "auto", spp=cfg["spp"])
+        prefix = (f"v{SEMANTICS_VERSION}|{_scene_fingerprint(scene, cam)}"
+                  f"|{cfg['width']}x{cfg['height']}|{cfg['spp']}|d50|s1024"
+                  f"|{mode}|")
+        if mode == "pool":
+            # CPU resolve_engine picks xla; the census (TPU) records the
+            # PLAN, which depends only on n_prims via the lane caps -
+            # recompute with the engine the census used
+            tag_engine = ("pallas" if "pallas" in stats[config]["tag"]
+                          or scene.n_prims > 512 else "xla")
+            k, s, _ = plan_pool(scene, cfg["width"], cfg["height"],
+                                cfg["spp"], 1 << 20,
+                                cfg.get("samples_per_wave", 64), tag_engine)
+            prefix += f"pool:k{k}s{s}"
+        assert stats[config]["tag"].startswith(prefix), (
+            f"{config}: committed census tag {stats[config]['tag']!r} is "
+            f"stale for the current code (expected prefix {prefix!r}); "
+            "re-run tools/count_rays.py on the TPU")
+        assert stats[config]["rays"] > 0
