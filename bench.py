@@ -119,13 +119,17 @@ def run(config: str, rays_per_wave: int, out: str | None,
                                      normalized_platform_version,
                                      prebuilt_platform_mismatch)
 
+    # jax's module import is seconds on a cold interpreter; time it on
+    # its own so it can't masquerade as prebuilt sync (enable_compilation
+    # _cache imports jax internally - review r5 finding)
+    import jax
+    import jax.extend
+
     import_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     enable_compilation_cache()
     sync_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    import jax
-    import jax.extend
 
     # Receipts (VERDICT r3 weak #1: a 609 s cold start was unattributable).
     print(f"[bench] backend: "
@@ -230,12 +234,13 @@ def run(config: str, rays_per_wave: int, out: str | None,
             f"per sample from spp_ref={BASELINES[config]['spp_ref']} "
             f"({BASELINES[config].get('note', '')})")
     result.update(ray_stats(config, scene, camera, elapsed,
-                            bvh=bvh, engine=engine, rr_depth=rr_depth))
+                            bvh=bvh, engine=engine, rr_depth=rr_depth,
+                            rays_per_wave=rays_per_wave))
     return result
 
 
 def ray_stats(config: str, scene, camera, elapsed: float, *, bvh, engine,
-              rr_depth) -> dict:
+              rr_depth, rays_per_wave=1 << 20) -> dict:
     """Mrays/s + speed-of-light receipts from the RAYSTATS.json census
     (tools/count_rays.py) - the declared BASELINE.json metric, attached
     at report time so the timed run's working set / ttfp never pays for
@@ -248,8 +253,9 @@ def ray_stats(config: str, scene, camera, elapsed: float, *, bvh, engine,
                         "RAYSTATS.json")
     try:
         stats = json.load(open(path))[config]
-    except (OSError, KeyError, ValueError):
-        return {}
+        tag, rays = stats["tag"], int(stats["rays"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return {}  # missing/malformed entry: omit, never crash the child
     from tpu_ray.renderer import (SEMANTICS_VERSION, _scene_fingerprint,
                                   plan_pool, resolve_engine, resolve_mode)
 
@@ -261,17 +267,19 @@ def ray_stats(config: str, scene, camera, elapsed: float, *, bvh, engine,
               f"|{mode}|")
     if mode == "pool":
         # pool draws fold the wave key, so the wave PLAN is part of the
-        # count's identity (the queue's are globally keyed - plan-free)
+        # count's identity (the queue's are globally keyed - plan-free).
+        # Uses the RUN's rays_per_wave: a non-default lane budget changes
+        # the plan and must fail the tag check rather than attach the
+        # default plan's count (review r5 finding)
         k, s, _ = plan_pool(scene, cfg["width"], cfg["height"], cfg["spp"],
-                            1 << 20, cfg.get("samples_per_wave", 64),
+                            rays_per_wave, cfg.get("samples_per_wave", 64),
                             resolve_engine(scene, engine))
         prefix += f"pool:k{k}s{s}"
-    if not stats["tag"].startswith(prefix):
+    if not tag.startswith(prefix):
         print(f"[bench] RAYSTATS.json tag for {config} is stale "
               "(re-run tools/count_rays.py); omitting mrays_per_s",
               file=sys.stderr)
         return {}
-    rays = stats["rays"]
     sol_wall = rays * scene.n_prims * SWEEP_SOL_S_PER_RAY_PRIM
     return {
         "rays": rays,
@@ -396,6 +404,13 @@ def _measure_config(config: str, args, attempts: int) -> dict | None:
         if warm["value"] < cold["value"] and not partial_s:
             cold["value"] = warm["value"]
             cold["vs_baseline"] = warm["vs_baseline"]
+            # keep the rays-derived fields consistent with the adopted
+            # value (review r5: rays/value must equal mrays_per_s)
+            for k in ("rays", "mrays_per_s", "sol_sweep_fraction"):
+                if k in warm:
+                    cold[k] = warm[k]
+                else:
+                    cold.pop(k, None)
     return cold
 
 

@@ -202,6 +202,13 @@ def test_camera_create_compiles_nothing():
 
     from tpu_ray.core.camera import Camera
 
+    # a COLD process's first jnp.asarray still compiles one tiny
+    # convert/transfer program; warm that up so the assertion measures
+    # Camera.create's math, not process state (the old eager chain
+    # compiled ~10 programs REGARDLESS of warmth - that is the
+    # regression being pinned).  Order-independent by construction.
+    Camera.create((0, 0, 1), (0, 0, 0), (0, 1, 0), 40.0, 1.0, 0.0, 1.0)
+
     compiles = []
 
     def listener(event, duration, **kw):

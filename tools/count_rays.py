@@ -82,19 +82,28 @@ def count_pool(scene, camera, width, height, spp, max_depth, seed, engine,
         def cond(c):
             return jnp.any(c[0].active) & (c[0].iteration < iter_cap)
 
+        # two-word accumulator: a per-iteration active sum is <= 2^20
+        # lanes, so lo stays < 2^21 and hi counts 2^20-ray units - exact
+        # far past int32 (review r5: a single int32 was within 2x of
+        # wrapping on cornell's 1.17e9-ray wave)
         def cb(c):
-            st, rays = c
-            return body(st), rays + jnp.sum(st.active, dtype=jnp.int32)
+            st, hi, lo = c
+            lo = lo + jnp.sum(st.active, dtype=jnp.int32)
+            hi = hi + (lo >> 20)
+            lo = lo & ((1 << 20) - 1)
+            return body(st), hi, lo
 
-        _, rays = jax.lax.while_loop(cond, cb, (st, jnp.int32(0)))
-        return rays
+        _, hi, lo = jax.lax.while_loop(
+            cond, cb, (st, jnp.int32(0), jnp.int32(0)))
+        return hi, lo
 
     total = 0
     for w in range(n_waves):
         key = jax.random.fold_in(base_key, w)
-        total += int(wave_rays(key, xs, ys, sids,
-                               jnp.uint32(w * s_wave), int(s_wave),
-                               max_depth, engine, fused, jnp.uint32(seed)))
+        hi, lo = wave_rays(key, xs, ys, sids,
+                           jnp.uint32(w * s_wave), int(s_wave),
+                           max_depth, engine, fused, jnp.uint32(seed))
+        total += (int(hi) << 20) + int(lo)
         print(f"  wave {w + 1}/{n_waves}: cumulative {total:,} rays",
               file=sys.stderr)
     return total, f"pool:k{k_pool}s{s_wave}"
@@ -136,33 +145,38 @@ def count_queue(scene, camera, width, height, spp, max_depth, seed, engine,
             return ((st.iteration < iters)
                     & ((st.frontier < total) | jnp.any(st.active)))
 
+        # two-word ray accumulator (see count_pool): per-iteration sums
+        # are <= R <= 2^20 lanes, so lo never overflows before its spill
         def body(c):
-            st, rays = c
-            rays = rays + jnp.sum(st.active, dtype=jnp.int32)
+            st, hi, lo = c
+            lo = lo + jnp.sum(st.active, dtype=jnp.int32)
+            hi = hi + (lo >> 20)
+            lo = lo & ((1 << 20) - 1)
             st = _queue_body(st, scene, camera, k_isect, k_scat,
                              jnp.uint32(seed), jnp.uint32(0), total, m=m,
                              width=width, height=height, engine=engine,
                              fused=fused, max_depth=max_depth)
-            return st, rays
+            return st, hi, lo
 
-        st, rays = carry
-        return jax.lax.while_loop(cond, body,
-                                  (st._replace(iteration=jnp.int32(0)), rays))
+        st, hi, lo = carry
+        return jax.lax.while_loop(
+            cond, body, (st._replace(iteration=jnp.int32(0)), hi, lo))
 
     @jax.jit
     def counters(carry):
-        st, rays = carry
+        st, hi, lo = carry
         return jnp.stack([st.frontier, jnp.sum(st.active, dtype=jnp.int32),
-                          rays])
+                          hi, lo])
 
-    carry = (_queue_init(R, total_i, R), jnp.int32(0))
+    carry = (_queue_init(R, total_i, R), jnp.int32(0), jnp.int32(0))
     max_epochs = 21 + (total_i // max(R, 1)
                        + spp * max_depth) // max(epoch_iters, 1) * 4
     for e in range(max_epochs):
         carry = epoch(carry, total, R, epoch_iters, width, height, engine,
                       fused)
-        frontier, n_active, rays = (int(v) for v in np.asarray(
+        frontier, n_active, hi, lo = (int(v) for v in np.asarray(
             counters(carry)))
+        rays = (hi << 20) + lo
         if e % 16 == 0:
             print(f"  epoch {e}: frontier {frontier:,}/{total_i:,}, "
                   f"{n_active:,} active, {rays:,} rays", file=sys.stderr)

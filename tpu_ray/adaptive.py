@@ -220,6 +220,17 @@ def render_adaptive(
               max_rounds=max_rounds, rr_depth=rr_depth, progress=progress,
               return_spp=return_spp)
     if mode == "pool":
+        if camera.sampler == "sobol-b0":
+            # the bounce-dim override only exists on the XLA work-queue
+            # path; the pool backend keeps sobol camera dims with hashed
+            # scatter draws - announce it like renderer.render does
+            # (review r5: this demotion was the one silent one left)
+            import sys
+
+            print("tpu_ray: sampler=sobol-b0's bounce-dim override only "
+                  "runs on the XLA work-queue path; the adaptive pool "
+                  "backend keeps the sobol camera dims with hashed "
+                  "scatter draws", file=sys.stderr)
         return _render_adaptive_pool(scene, camera, width, height, **kw)
     return _render_adaptive_queue(scene, camera, width, height, mesh=mesh,
                                   **kw)

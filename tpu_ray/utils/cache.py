@@ -184,8 +184,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         plats = str(jax.config.jax_platforms or "")
     except Exception:
         plats = ""
-    if plats.startswith("cpu") and not env and cache_dir is None:
-        return ""
+    if not env and cache_dir is None:
+        if plats.startswith("cpu"):
+            return ""
+        # platform undecided: on TPU machines the plugin's sitecustomize
+        # exports JAX_PLATFORMS (axon here); a machine with neither that
+        # env nor an explicit platform will fall back to the CPU backend,
+        # where cached executables are host-feature poison (review r5: the
+        # original guard missed exactly this TPU-less default case)
+        if not plats and "JAX_PLATFORMS" not in os.environ:
+            return ""
     cache_dir = cache_dir or env or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
 
